@@ -1,0 +1,162 @@
+"""O-P1 — the parse stage: grok/regex-style field extraction over token
+payloads, Arrow-vectorized (no per-row Python in the hot path).
+
+The reference builds one FileEvent per harvested line
+(/root/reference/harvester.go:76-89). Here each row's pre-tokenized payload
+is parsed in whole Arrow batches: a ``pandas_udf`` receives ~10k rows per
+batch (session.py pins ``spark.sql.execution.arrow.maxRecordsPerBatch``),
+flattens the token lists into one contiguous numpy array, and computes every
+field with columnar numpy/pandas ops — the only Python-level loop is the
+per-batch ``np.concatenate`` assembly, never per row or per token.
+
+Two implementations with identical semantics:
+
+* ``parse_stage``          — the pandas-UDF path (mandated by input_hint for
+                             the regex-style ``payload_class`` extraction).
+* ``parse_stage_builtin``  — pure JVM built-ins (higher-order functions +
+                             ``regexp_extract``); used to cross-check the
+                             UDF in tests and as the fast path for the
+                             fields that built-ins can express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import PARSED_FIELDS_SCHEMA
+
+# Signature = first SIG_LEN tokens mod 10, joined as a digit string; the
+# regex classes below are the grok-style "pattern over the payload".
+SIG_LEN = 8
+
+_DOUBLED = r"^(\d)\1"  # first two digits equal
+_ANSWER = "42"
+
+
+def _classify(sig: pd.Series) -> pd.Series:
+    """Regex classification of payload signatures (vectorized pandas str ops)."""
+    cls = pd.Series("odd_head", index=sig.index, dtype=object)
+    first = sig.str[0].fillna("")
+    cls[first.isin(list("02468"))] = "even_head"
+    cls[sig.str.contains(_ANSWER, regex=False)] = "answer"
+    cls[sig.str.match(_DOUBLED)] = "doubled"
+    cls[sig.str.len() == 0] = "empty"
+    return cls
+
+
+def parse_token_batch(tokens: pd.Series) -> pd.DataFrame:
+    """Pure function on one Arrow batch — unit-testable without Spark.
+
+    Input: Series of int32 numpy arrays. Output: DataFrame matching
+    PARSED_FIELDS_SCHEMA. Empty arrays yield head/tail/max/distinct = None
+    (left as nullable), tok_sum = 0, payload_class = 'empty'.
+    """
+    n = len(tokens)
+    if n == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in PARSED_FIELDS_SCHEMA}
+        )
+    arrays = [np.asarray(a, dtype=np.int64) for a in tokens]
+    lengths = np.fromiter((a.size for a in arrays), dtype=np.int64, count=n)
+    flat = np.concatenate(arrays) if lengths.sum() else np.empty(0, np.int64)
+    row_idx = np.repeat(np.arange(n), lengths)
+
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    ends = starts + lengths - 1
+    nonempty = lengths > 0
+
+    head = np.full(n, -1, dtype=np.int64)
+    tail = np.full(n, -1, dtype=np.int64)
+    head[nonempty] = flat[starts[nonempty]]
+    tail[nonempty] = flat[ends[nonempty]]
+
+    grouped = pd.Series(flat).groupby(row_idx)
+    tok_sum = np.zeros(n, dtype=np.int64)
+    tok_max = np.full(n, -1, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        agg = grouped.agg(["sum", "max", "nunique"])
+        tok_sum[agg.index] = agg["sum"].to_numpy()
+        tok_max[agg.index] = agg["max"].to_numpy()
+        n_distinct[agg.index] = agg["nunique"].to_numpy()
+
+    # signature: first SIG_LEN tokens mod 10 as a digit string, per row —
+    # built columnar: mask the flat array to positions < start+SIG_LEN.
+    keep = np.zeros(len(flat), dtype=bool)
+    if len(flat):
+        pos_in_row = np.arange(len(flat)) - starts[row_idx]
+        keep = pos_in_row < SIG_LEN
+    digits = (flat[keep] % 10).astype(str)
+    sig = pd.Series(digits).groupby(row_idx[keep]).agg("".join)
+    sig = sig.reindex(range(n), fill_value="")
+
+    out = pd.DataFrame(
+        {
+            "head_token": pd.array(head, dtype="Int32"),
+            "tail_token": pd.array(tail, dtype="Int32"),
+            "tok_sum": tok_sum,
+            "tok_max": pd.array(tok_max, dtype="Int32"),
+            "n_distinct": pd.array(n_distinct, dtype="Int32"),
+            "payload_class": _classify(sig),
+        }
+    )
+    empty_mask = ~nonempty
+    for c in ("head_token", "tail_token", "tok_max", "n_distinct"):
+        out.loc[empty_mask, c] = pd.NA
+    return out
+
+
+@F.pandas_udf(PARSED_FIELDS_SCHEMA)
+def parse_tokens_udf(tokens: pd.Series) -> pd.DataFrame:
+    return parse_token_batch(tokens)
+
+
+def parse_stage(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Attach parsed fields as top-level columns (O-P1, Arrow path)."""
+    parsed = df.withColumn("_parsed", parse_tokens_udf(F.col(tokens_col)))
+    return parsed.select("*", "_parsed.*").drop("_parsed")
+
+
+def _sig_builtin(tokens: Column) -> Column:
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(tokens, 1, SIG_LEN), lambda t: F.pmod(t, F.lit(10)).cast("string")
+        ),
+    )
+
+
+def parse_stage_builtin(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Same semantics, pure JVM built-ins (whole-stage codegen, no Python).
+
+    Cross-checked against ``parse_stage`` in tests; demonstrates the
+    built-ins-first rule — the UDF exists because grok-style parsing over
+    real payloads won't always reduce to higher-order functions.
+    """
+    t = F.col(tokens_col)
+    sig = _sig_builtin(t)
+    empty = F.size(t) == 0
+    return (
+        df.withColumn("head_token", F.when(~empty, t.getItem(0)).cast("int"))
+        .withColumn("tail_token", F.when(~empty, F.element_at(t, -1)).cast("int"))
+        .withColumn(
+            "tok_sum",
+            F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        )
+        .withColumn("tok_max", F.when(~empty, F.array_max(t)).cast("int"))
+        .withColumn(
+            "n_distinct", F.when(~empty, F.size(F.array_distinct(t))).cast("int")
+        )
+        .withColumn(
+            "payload_class",
+            F.when(empty, F.lit("empty"))
+            .when(sig.rlike(_DOUBLED), F.lit("doubled"))
+            .when(sig.contains(_ANSWER), F.lit("answer"))
+            .when(F.substring(sig, 1, 1).isin(*list("02468")), F.lit("even_head"))
+            .otherwise(F.lit("odd_head")),
+        )
+    )

@@ -1,0 +1,176 @@
+"""The orchestrator: parse → enrich → route → fan-out commit → aggregate.
+
+One logical run = one envelope/ack cycle of the reference
+(/root/reference/publisher1.go:44-127), restructured for scale:
+
+* **Single input pass.** The routed stream is written ONCE with
+  ``partitionBy("sink")`` into a staging dir — K sinks do not mean K scans
+  of a 100 TB input. Lineage and the north-rule aggregates are then computed
+  from the staged columnar data, reading only the few columns they need.
+* **Checkpoint anti-filter.** On resume, sinks already committed for this
+  ``run_id`` are excluded *before* the staging write (O-X3's left-anti join,
+  degenerated to an ``isin`` filter because the commit key is the sink) —
+  re-running a half-failed run re-does only uncommitted work.
+* **Atomic publish, checkpoint-after-data.** Each sink dir is renamed into
+  place (atomic), then its lineage rows are committed to the registrar. A
+  crash between the two leaves a published-but-unreferenced dir, which
+  resume deletes and redoes → exactly-once routed rows (strictly stronger
+  than the reference's at-least-once, SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import default_routes
+from .operators.aggregate import sink_source_counts
+from .operators.enrich import enrich_stage
+from .operators.parse import parse_stage
+from .operators.route import route_stage, sink_names
+from .plans.registrar import LineageRow, Registrar
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the test-only fault injector to simulate a mid-run crash."""
+
+
+@dataclass
+class PipelineSpec:
+    out_dir: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    routes: list[tuple[int, str, str]] = field(default_factory=default_routes)
+    salt_buckets: int = 64
+    # test-only fault injection: raise after N successful sink commits
+    fail_after_sinks: int | None = None
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    sinks_committed: list[str]
+    sinks_skipped: list[str]
+    rows_staged: int
+    metrics_path: str
+    elapsed_sec: float
+
+
+def build_plan(
+    sequences: DataFrame, source_dim: DataFrame, spec: PipelineSpec
+) -> DataFrame:
+    """The logical plan: parse → enrich → route. Pure, lazily evaluated."""
+    parsed = parse_stage(sequences)
+    enriched = enrich_stage(parsed, source_dim, run_id=spec.run_id)
+    return route_stage(enriched, spec.routes)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sequences: DataFrame,
+    source_dim: DataFrame,
+    spec: PipelineSpec,
+) -> RunResult:
+    t0 = time.monotonic()
+    reg = Registrar(os.path.join(spec.out_dir, "_checkpoint"))
+    all_sinks = sink_names(spec.routes)
+    done = reg.committed_sinks(spec.run_id)
+    todo = [s for s in all_sinks if s not in done]
+
+    run_dir = os.path.join(spec.out_dir, f"run_id={spec.run_id}")
+    staging = os.path.join(run_dir, "_staging")
+    os.makedirs(run_dir, exist_ok=True)
+
+    committed: list[str] = []
+    rows_staged = 0
+    if todo:
+        routed = build_plan(sequences, source_dim, spec)
+        # exclude already-committed sinks before the (expensive) staging pass
+        if done:
+            routed = routed.filter(~F.col("sink").isin(sorted(done)))
+        # a previous crashed attempt may have left a partial staging dir
+        shutil.rmtree(staging, ignore_errors=True)
+        # fields is map<string,string>: fine for parquet; keep full row for
+        # routed-row equality checks downstream.
+        routed.write.partitionBy("sink").parquet(staging)
+
+        staged = spark.read.parquet(staging)
+        rows_staged = staged.count()
+
+        # per-partition lineage for every staged sink, one columnar scan
+        lineage_pdf = (
+            staged.groupBy("sink", "part_id")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.coalesce(F.sum("n_tok"), F.lit(0)).alias("token_total"),
+            )
+            .toPandas()
+        )
+
+        n_committed = 0
+        for sink in todo:
+            src = os.path.join(staging, f"sink={sink}")
+            dst = os.path.join(run_dir, f"sink={sink}")
+            # crash between publish and checkpoint leaves dst unreferenced:
+            # delete and redo (idempotent re-commit)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if not os.path.isdir(src):
+                # no rows routed to this sink in this run: commit empty lineage
+                reg.commit(spec.run_id, sink, [LineageRow(-1, 0, 0)])
+                committed.append(sink)
+                continue
+            os.replace(src, dst)  # atomic publish = the ack (O-R5)
+            rows = lineage_pdf[lineage_pdf["sink"] == sink]
+            reg.commit(
+                spec.run_id,
+                sink,
+                [
+                    LineageRow(int(r.part_id), int(r.row_count), int(r.token_total))
+                    for r in rows.itertuples()
+                ],
+            )
+            committed.append(sink)
+            n_committed += 1
+            if (
+                spec.fail_after_sinks is not None
+                and n_committed >= spec.fail_after_sinks
+            ):
+                raise InjectedFailure(
+                    f"injected crash after {n_committed} sink commits"
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # north-rule metrics: per-sink/per-source counts + token totals (salted)
+    published = [
+        os.path.join(run_dir, f"sink={s}")
+        for s in all_sinks
+        if os.path.isdir(os.path.join(run_dir, f"sink={s}"))
+    ]
+    metrics_path = os.path.join(run_dir, "_metrics")
+    if published:
+        routed_back = spark.read.option("basePath", run_dir).parquet(*published)
+        metrics = sink_source_counts(routed_back, salt_buckets=spec.salt_buckets)
+        metrics.write.mode("overwrite").parquet(metrics_path)
+
+    return RunResult(
+        run_id=spec.run_id,
+        sinks_committed=committed,
+        sinks_skipped=sorted(done),
+        rows_staged=rows_staged,
+        metrics_path=metrics_path,
+        elapsed_sec=time.monotonic() - t0,
+    )
+
+
+def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> DataFrame:
+    run_dir = os.path.join(out_dir, f"run_id={run_id}")
+    return (
+        spark.read.option("basePath", run_dir)
+        .parquet(os.path.join(run_dir, f"sink={sink}"))
+    )

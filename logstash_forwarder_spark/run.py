@@ -1,0 +1,70 @@
+"""CLI runner — the spark-submit surface of the pipeline.
+
+    spark-submit --py-files lfs.zip run.py \
+        --input /path/to/sequences_parquet --out /path/out --run-id r1
+
+With ``--gen N`` the input is synthesized deterministically instead
+(datagen.gen_sequences). Prints a one-line JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from .datagen import gen_sequences, gen_source_dim
+from .pipeline import PipelineSpec, run_pipeline
+from .schema import SEQUENCES_SCHEMA
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="logstash_forwarder_spark.run")
+    p.add_argument("--input", help="parquet dir of (doc_id, tokens, n_tok, source)")
+    p.add_argument("--gen", type=int, default=0, help="synthesize N rows instead")
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--master", default=None, help="override master (local[N])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.master:
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="lfs-run",
+            master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        )
+    else:
+        spark = SparkSession.builder.appName("lfs-run").getOrCreate()
+
+    if args.gen:
+        seqs = gen_sequences(spark, args.gen)
+    elif args.input:
+        seqs = spark.read.schema(SEQUENCES_SCHEMA).parquet(args.input)
+    else:
+        p.error("one of --input / --gen is required")
+
+    spec_kwargs = {"out_dir": args.out}
+    if args.run_id:
+        spec_kwargs["run_id"] = args.run_id
+    res = run_pipeline(spark, seqs, gen_source_dim(spark), PipelineSpec(**spec_kwargs))
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "sinks_committed": res.sinks_committed,
+                "sinks_skipped": res.sinks_skipped,
+                "rows_staged": res.rows_staged,
+                "elapsed_sec": round(res.elapsed_sec, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

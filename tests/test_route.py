@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.datagen import default_routes, gen_sequences, gen_source_dim
+from logstash_forwarder_spark.operators.enrich import enrich_stage
+from logstash_forwarder_spark.operators.route import (
+    RouteError,
+    compile_routes,
+    route_stage,
+    sink_names,
+)
+
+
+def test_route_requires_catchall():
+    with pytest.raises(RouteError):
+        compile_routes([(0, "n_tok > 1", "a")])
+    with pytest.raises(RouteError):
+        compile_routes([])
+
+
+def test_route_every_row_exactly_one_sink(spark):
+    seqs = gen_sequences(spark, 2_000)
+    enriched = enrich_stage(seqs, gen_source_dim(spark))
+    routed = route_stage(enriched, default_routes())
+    assert routed.filter(F.col("sink").isNull()).count() == 0
+    assert routed.count() == 2_000
+    found = {r.sink for r in routed.select("sink").distinct().collect()}
+    assert found <= set(sink_names(default_routes()))
+
+
+def test_route_first_match_wins(spark):
+    # a row matching both rule 0 and rule 1 must take rule 0's sink
+    rules = [(0, "n_tok > 1", "first"), (1, "n_tok > 0", "second"), (2, "true", "dflt")]
+    df = spark.createDataFrame([(5,), (1,), (0,)], "n_tok int")
+    got = {r.n_tok: r.sink for r in route_stage(df, rules).collect()}
+    assert got == {5: "first", 1: "second", 0: "dflt"}
+
+
+def test_route_priority_order_not_list_order(spark):
+    rules = [(1, "n_tok > 0", "second"), (0, "n_tok > 1", "first"), (2, "true", "dflt")]
+    df = spark.createDataFrame([(5,)], "n_tok int")
+    assert route_stage(df, rules).first().sink == "first"
