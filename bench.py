@@ -1,0 +1,135 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": "e2e_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "rows": N, "sequences_per_sec": X}
+
+Input: deterministic sequences table sized by SF (synthesized once into
+``bench_data/`` next to this file, re-used across runs so every run times
+the same on-disk files), plus the driver's parquet tables at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) for the operator
+queries. Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from logstash_forwarder_spark.datagen import gen_sequences, gen_source_dim  # noqa: E402
+from logstash_forwarder_spark.pipeline import PipelineSpec, run_pipeline  # noqa: E402
+from logstash_forwarder_spark.session import get_spark  # noqa: E402
+
+# rows per scale factor for the synthesized sequences table (~256 tokens/row
+# → sf0.1 ≈ 2M rows ≈ 512M tokens ≈ 1 GiB on disk)
+ROWS_PER_SF = 20_000_000
+
+BENCH_QUERIES = [
+    "parse_extract",
+    "enrich_agg",
+    "sink_source_counts",
+    "pricing_agg",
+    "events_hourly",
+    "dedup_exact",
+    "minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_input(spark, sf: float) -> str:
+    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+    path = os.path.join(REPO, "bench_data", f"seqs_{n_rows}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        parts = max(int(spark.sparkContext.defaultParallelism) * 4, 32)
+        gen_sequences(spark, n_rows, num_partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(
+        app_name="lfs-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    in_path = ensure_input(spark, sf)
+    seqs = spark.read.parquet(in_path)
+    n_rows = seqs.count()
+    dim = gen_source_dim(spark)
+
+    out_dir = f"/tmp/lfs_bench_{uuid.uuid4().hex[:8]}"
+    # warm-up: touch EVERY python worker (numpy/pandas import + page-faults
+    # cost ~4s per worker on first batch) and every pipeline codepath
+    from logstash_forwarder_spark.operators.parse import parse_stage
+
+    warm = gen_sequences(spark, 64_000, num_partitions=cpus * 2)
+    parse_stage(warm).write.format("noop").mode("overwrite").save()
+    run_pipeline(
+        spark,
+        warm,
+        dim,
+        PipelineSpec(out_dir=out_dir, run_id="warmup"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=out_dir, run_id="bench"))
+    e2e = time.monotonic() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    from logstash_forwarder_spark.queries import registry
+
+    reg = registry()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in reg:
+            continue
+        fn, _ = reg[name]
+        try:
+            df = fn(spark, sf_dir)
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # keep the bench line intact on one bad query
+            qtimes[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_pipeline_sec",
+                "value": round(e2e, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "rows": n_rows,
+                "sequences_per_sec": round(n_rows / e2e),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -130,7 +130,7 @@ def gen_media(spark: SparkSession, n_rows: int, *, seed: int = SEED) -> DataFram
     return df.select(
         F.format_string("media-%06d", F.col("id")).alias("media_id"),
         kind.alias("kind"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+        F.unhex(F.sha2(F.col("id").cast("string"), 256)).alias("payload"),
         F.struct(
             (F.pmod(h(2), F.lit(1920)) + 1).cast("int").alias("width"),
             (F.pmod(h(3), F.lit(1080)) + 1).cast("int").alias("height"),

@@ -362,6 +362,210 @@ SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id FROM (
 
 
 # ---------------------------------------------------------------------------
+# training-data operators: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count_stage
+
+    return token_count_stage(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_stage
+
+    return quality_stage(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_punct", "stop_hits", "mean_word_len_x100"
+    )
+
+
+def _stop_hits_sql() -> str:
+    from .operators.text import EN_STOPWORDS
+
+    terms = [
+        f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2}"
+        for w in EN_STOPWORDS
+    ]
+    return " + ".join(terms)
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST({_stop_hits_sql()} AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 > 0
+            THEN floor((length(text) - (length(text) - length(replace(text, ' ', '')))) * 100.0
+                 / (length(text) - length(replace(text, ' ', '')) + 1))
+            ELSE 0 END AS BIGINT) AS mean_word_len_x100
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id_stage
+
+    return lang_id_stage(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _lang_sql() -> str:
+    from .operators.text import EN_STOPWORDS
+
+    hits = " + ".join(
+        f"(CASE WHEN ' ' || text || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+        for w in EN_STOPWORDS
+    )
+    return f"CASE WHEN {hits} >= 2 THEN 'en' ELSE 'unk' END"
+
+
+SQL_LANG_ID = f"SELECT doc_id, {_lang_sql()} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint_stage
+
+    return fingerprint_stage(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup accounting per source: total rows vs distinct fingerprints."""
+    from .operators.text import fingerprint_stage
+
+    return (
+        fingerprint_stage(_docs(spark, sf_dir))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fp_md5").alias("n_unique"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (integer-exact threshold 20%)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold_pct=20)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.sh_count + sb.sh_count - common AS BIGINT) AS union_size
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 100 >= 20 * (sa.sh_count + sb.sh_count - common)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs — engine-specific hashing, rows-only check."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — engine-specific hashing, rows-only check."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=7, n_chunks=8)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (queries: vec_id<5, candidates: ≥5)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=5
+    )
+    return got.select("query_id", "rank", "neighbor_id")
+
+
+SQL_SIMILARITY_TOPK = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id >= 5)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs at τ=0.9 via LSH blocking + exact verify."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_near_dup_pairs(
+        emb, threshold=0.90, dim=64, n_planes=8
+    ).select("vec_a", "vec_b")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.90
+"""
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload byte length (decode itself is
+    stubbed; see operators/multimodal.py)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+SQL_MULTIMODAL_BYTES = (
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
 
@@ -380,6 +584,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
+    "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
 }
 
 
