@@ -93,10 +93,18 @@ def main() -> None:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.monotonic()
-    run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=out_dir, run_id="bench"))
-    e2e = time.monotonic() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    from logstash_forwarder_spark.benchutil import best, timed_trials
+
+    def one_trial():
+        run_pipeline(
+            spark, seqs, dim, PipelineSpec(out_dir=out_dir, run_id=uuid.uuid4().hex[:8])
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # min of 2 trials: this VM shows bursty hypervisor CPU steal; the min is
+    # the least-contended observation (per-trial steal fraction reported)
+    trials = timed_trials(one_trial, n_trials=2)
+    e2e = best(trials)["sec"]
 
     from logstash_forwarder_spark.queries import registry
 
@@ -126,6 +134,7 @@ def main() -> None:
                 "rows": n_rows,
                 "sequences_per_sec": round(n_rows / e2e),
                 "cpus": cpus,
+                "trials": trials,
             }
         )
     )

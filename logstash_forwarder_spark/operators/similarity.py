@@ -133,13 +133,15 @@ def lsh_topk(
             for p in range(n_planes)
             for q in range(p + 1, n_planes)
         ]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        signature_col(F.col(vec_col), planes).alias("q_sig"),
-    ).withColumn(
-        "bucket",
-        F.explode(F.array(*probes)).bitwiseXOR(F.col("q_sig")).cast("int"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            signature_col(F.col(vec_col), planes).alias("q_sig"),
+        )
+        .withColumn("_probe", F.explode(F.array(*probes)))
+        .withColumn("bucket", F.col("_probe").bitwiseXOR(F.col("q_sig")).cast("int"))
+        .drop("_probe")
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",

@@ -99,18 +99,28 @@ def run_pipeline(
         # routed-row equality checks downstream.
         routed.write.partitionBy("sink").parquet(staging)
 
-        staged = spark.read.parquet(staging)
-        rows_staged = staged.count()
-
-        # per-partition lineage for every staged sink, one columnar scan
-        lineage_pdf = (
-            staged.groupBy("sink", "part_id")
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.coalesce(F.sum("n_tok"), F.lit(0)).alias("token_total"),
+        has_staged = any(
+            d.startswith("sink=") for d in os.listdir(staging)
+        )  # zero routed rows → only _SUCCESS; parquet read would fail
+        if has_staged:
+            staged = spark.read.parquet(staging)
+            # per-partition lineage for every staged sink, one columnar scan;
+            # rows_staged falls out of it — no separate count job
+            lineage_pdf = (
+                staged.groupBy("sink", "part_id")
+                .agg(
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.coalesce(F.sum("n_tok"), F.lit(0)).alias("token_total"),
+                )
+                .toPandas()
             )
-            .toPandas()
-        )
+            rows_staged = int(lineage_pdf["row_count"].sum())
+        else:
+            import pandas as pd
+
+            lineage_pdf = pd.DataFrame(
+                columns=["sink", "part_id", "row_count", "token_total"]
+            )
 
         n_committed = 0
         for sink in todo:

@@ -342,6 +342,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode (config/registry codec of the reference, config.go:130 /
+    registrar.go:47-48) applied to data: extract props.k, aggregate."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per type — rank/window shape, integer output."""
     w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
@@ -358,6 +383,142 @@ SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id FROM (
   SELECT event_type, event_id,
          row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
   FROM events) WHERE rank <= 3
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each click matched to the
+    user's latest prior-or-equal purchase. Union + ignorenulls-last window —
+    one shuffle, no range explosion (operators/joins.py)."""
+    from .operators.joins import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id", value_cols=["purchase_id"]
+    )
+    return out.select("event_id", "user_id", "purchase_id_matched")
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, p.purchase_id AS purchase_id_matched
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + gap-flag + running sum): sessions per user with
+    a 30-minute inactivity gap. The streaming-analytics shape the reference's
+    event stream invites but never had."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp: works for TIMESTAMP and TIMESTAMP_NTZ alike (session
+    # tz pinned to UTC), truncating to seconds = floor(epoch) in the oracle
+    sec = F.unix_timestamp(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+GROUP BY user_id
+"""
+
+
+PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket event-type counts as columns."""
+    e = _events(spark, sf_dir).withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(10)).cast("long")
+    )
+    p = e.groupBy("user_bucket").pivot("event_type", PIVOT_TYPES).count()
+    return p.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in PIVOT_TYPES],
+    )
+
+
+SQL_PIVOT_COUNTS = f"""
+SELECT user_id % 10 AS user_bucket,
+  {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in PIVOT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (sink, source): subtotal rows coalesced to 'ALL'."""
+    routed = route_stage(_docs(spark, sf_dir), DOC_ROUTES)
+    return (
+        routed.rollup("sink", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.coalesce("sink", F.lit("ALL")).alias("sink"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = f"""
+SELECT coalesce(sink, 'ALL') AS sink, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT {_routes_case_sql()} AS sink, source FROM documents)
+GROUP BY ROLLUP(sink, source)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent in the reference, free in Spark): per-source
+    doc counts of (en ∪ short) minus (en ∩ short) — i.e. symmetric diff."""
+    d = _docs(spark, sf_dir)
+    en = d.filter(F.col("lang") == "en").select("doc_id", "source")
+    short = d.filter(F.col("n_chars") < 250).select("doc_id", "source")
+    sym = en.union(short).exceptAll(en.intersect(short).union(en.intersect(short)))
+    return sym.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SET_OPS = """
+WITH en AS (SELECT doc_id, source FROM documents WHERE lang = 'en'),
+     short AS (SELECT doc_id, source FROM documents WHERE n_chars < 250),
+     sym AS (
+       SELECT * FROM ((SELECT * FROM en) UNION ALL (SELECT * FROM short)) u
+       EXCEPT ALL
+       SELECT * FROM ((SELECT * FROM en INTERSECT SELECT * FROM short)
+                      UNION ALL
+                      (SELECT * FROM en INTERSECT SELECT * FROM short)) i)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM sym GROUP BY source
 """
 
 
@@ -584,6 +745,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),

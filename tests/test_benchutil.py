@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+from logstash_forwarder_spark.benchutil import best, read_steal_jiffies, timed_trials
+
+
+def test_read_steal_jiffies_monotone():
+    a = read_steal_jiffies()
+    b = read_steal_jiffies()
+    assert b >= a >= 0
+
+
+def test_timed_trials_and_best():
+    calls = []
+    trials = timed_trials(lambda: calls.append(1), n_trials=3, steal_gate=None)
+    assert len(trials) == 3 and len(calls) == 3
+    for t in trials:
+        assert t["sec"] >= 0 and "steal_frac" in t
+    assert best(trials)["sec"] == min(t["sec"] for t in trials)
+
+
+def test_steal_gate_caps_attempts():
+    # an impossible gate: every sample is "noisy", loop must stop at 3×n
+    trials = timed_trials(lambda: None, n_trials=2, steal_gate=-1.0)
+    assert len(trials) == 6
+    assert all(t.get("gated") for t in trials)

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+from logstash_forwarder_spark.operators.joins import asof_join, range_bucket_join
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 7, "d")],
+        "user string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 100), ("u1", 15, 200), ("u3", 1, 999)],
+        "user string, ts long, val long",
+    )
+    out = {
+        (r.user, r.ts): r.val_matched
+        for r in asof_join(
+            left, right, on="ts", by="user", value_cols=["val"]
+        ).collect()
+    }
+    assert out == {
+        ("u1", 10): 100,  # latest right ts<=10 is 8
+        ("u1", 20): 200,  # latest right ts<=20 is 15
+        ("u1", 5): None,  # nothing before 5
+        ("u2", 7): None,  # no right rows for u2
+    }
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([("u", 10, "x")], "user string, ts long, tag string")
+    right = spark.createDataFrame([("u", 10, 7)], "user string, ts long, val long")
+    row = asof_join(left, right, on="ts", by="user", value_cols=["val"]).first()
+    assert row.val_matched == 7  # <= is inclusive
+
+
+def test_range_bucket_join(spark):
+    points = spark.createDataFrame([(1, 5), (2, 25), (3, 99)], "id long, x long")
+    ranges = spark.createDataFrame(
+        [(0, 10, "lo"), (20, 30, "mid"), (90, 99, "hi"), (200, 300, "none")],
+        "lo long, hi long, label string",
+    )
+    out = {
+        r.id: r.label
+        for r in range_bucket_join(
+            points, ranges, left_point="x", right_lo="lo", right_hi="hi", bucket_width=16
+        ).collect()
+    }
+    assert out == {1: "lo", 2: "mid", 3: "hi"}

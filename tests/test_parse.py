@@ -15,6 +15,7 @@ from logstash_forwarder_spark.datagen import gen_sequences
 from logstash_forwarder_spark.operators.parse import (
     parse_stage,
     parse_stage_builtin,
+    parse_stage_pandas,
     parse_token_batch,
 )
 
@@ -62,12 +63,15 @@ def test_sig_only_first_8_tokens():
 
 
 @pytest.mark.usefixtures("spark")
-def test_udf_matches_builtin(spark):
-    """The pandas-UDF path and the pure-JVM path agree row-for-row."""
+def test_all_three_parse_paths_agree(spark):
+    """mapInArrow, pandas_udf, and pure-JVM built-ins agree row-for-row."""
     seqs = gen_sequences(spark, 3_000)
-    a = parse_stage(seqs).orderBy("doc_id").select("doc_id", *COLS).collect()
-    b = parse_stage_builtin(seqs).orderBy("doc_id").select("doc_id", *COLS).collect()
+    sel = lambda df: df.orderBy("doc_id").select("doc_id", *COLS).collect()  # noqa: E731
+    a = sel(parse_stage(seqs))
+    b = sel(parse_stage_builtin(seqs))
+    c = sel(parse_stage_pandas(seqs))
     assert a == b
+    assert a == c
 
 
 def test_parse_stage_schema(spark):

@@ -72,6 +72,32 @@ def test_kill_after_first_sink_then_resume(spark, tmp_out):
     seqs.unpersist()
 
 
+def test_published_but_uncheckpointed_sink_is_redone(spark, tmp_out):
+    """Crash in the gap between atomic publish and checkpoint write (the
+    reference's duplicate window, SURVEY §3.4): the resume must treat the
+    unreferenced published dir as garbage and redo it exactly-once."""
+    import shutil
+
+    seqs = gen_sequences(spark, 2_000, num_partitions=4).cache()
+    dim = gen_source_dim(spark)
+    run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=tmp_out, run_id="gap"))
+
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    # simulate the crash gap: data published, checkpoint row missing
+    victim = sorted(reg.committed_sinks("gap"))[0]
+    for f in os.listdir(os.path.join(tmp_out, "_checkpoint")):
+        if f == f"gap__{victim}.parquet":
+            os.remove(os.path.join(tmp_out, "_checkpoint", f))
+    assert victim not in reg.committed_sinks("gap")
+
+    res = run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=tmp_out, run_id="gap"))
+    assert victim in res.sinks_committed
+
+    got = _read_all_sinks(spark, tmp_out, "gap").toPandas()
+    assert len(got) == 2_000 and got.doc_id.is_unique
+    seqs.unpersist()
+
+
 def test_registrar_atomic_and_idempotent(tmp_path, spark):
     reg = Registrar(str(tmp_path / "ck"))
     reg.commit("r1", "sink_a", [LineageRow(0, 10, 100), LineageRow(1, 5, 50)])
