@@ -726,6 +726,63 @@ SQL_MULTIMODAL_BYTES = (
 )
 
 
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy-hitters: explode → count → global top-20 with a
+    deterministic tiebreak (the token-frequency stat a training-data
+    pipeline computes before vocab pruning)."""
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "word", "n")
+    )
+
+
+SQL_WORD_TOPK = """
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rank, word, n
+FROM (SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word)
+QUALIFY rank <= 20
+"""
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: exact lower-median n_chars per source
+    (per-group pandas where a built-in would need percentile semantics
+    pinned; the API surface for custom per-group logic)."""
+    import pandas as pd
+
+    def lower_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].sort_values().reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "median_chars": [int(v.iloc[(len(v) - 1) // 2])],
+                "n_docs": [len(v)],
+            }
+        )
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .applyInPandas(
+            lower_median, schema="source string, median_chars long, n_docs long"
+        )
+    )
+
+
+SQL_GROUPED_MEDIAN = """
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -762,6 +819,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
 }
 
 
