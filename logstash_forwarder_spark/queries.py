@@ -694,6 +694,22 @@ WHERE rank <= 5
 """
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (approximate by design → rows-only oracle; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+    )
+    return got.select("query_id", "rank", "neighbor_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs at τ=0.9 via LSH blocking + exact verify."""
     from .operators.similarity import cosine_near_dup_pairs
@@ -817,6 +833,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
     "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "similarity_ivf": (q_similarity_ivf, None),  # approximate → rows-only
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),

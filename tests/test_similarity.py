@@ -98,6 +98,30 @@ def test_lsh_topk_recall(spark):
     assert any(r.query_id == 0 and r.neighbor_id == 999 for r in got)
 
 
+def test_ivf_topk_recall(spark):
+    from logstash_forwarder_spark.operators.similarity import ivf_topk
+
+    df = _vecs(spark)
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    queries = [r for r in rows if r[0] < 3]
+    cands = [r for r in rows if r[0] >= 3]
+    got = ivf_topk(
+        spark.createDataFrame(queries, SCHEMA),
+        spark.createDataFrame(cands, SCHEMA),
+        k=5,
+        n_cells=8,
+        n_probe=4,
+    ).collect()
+    want = _np_topk(cands, queries, 5)
+    recalls = []
+    for qid in (0, 1, 2):
+        g = {r.neighbor_id for r in got if r.query_id == qid}
+        recalls.append(len(g & set(want[qid])) / 5)
+    assert sum(recalls) / len(recalls) >= 0.5
+    # the planted near-dup shares the query's cell w.h.p. → found
+    assert any(r.query_id == 0 and r.neighbor_id == 999 for r in got)
+
+
 def test_cosine_near_dup_pairs(spark):
     df = _vecs(spark)
     pairs = cosine_near_dup_pairs(df, threshold=0.95, dim=DIM, n_planes=8).collect()
