@@ -425,11 +425,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream invites but never had."""
     e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_timestamp: works for TIMESTAMP and TIMESTAMP_NTZ alike (session
-    # tz pinned to UTC), truncating to seconds = floor(epoch) in the oracle
-    sec = F.unix_timestamp(F.col("ts"))
-    gap = sec - F.lag(sec).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # timestamp difference as an interval: timezone-independent and
+    # microsecond-exact in both engines (unix_timestamp would shift with
+    # the session timezone and truncate to seconds)
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     return (
         e.withColumn("new_sess", new_sess)
         .groupBy("user_id")
@@ -446,8 +448,8 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM (
   SELECT user_id,
-         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events)

@@ -98,6 +98,24 @@ def test_published_but_uncheckpointed_sink_is_redone(spark, tmp_out):
     seqs.unpersist()
 
 
+def test_partial_staging_dir_from_crashed_attempt(spark, tmp_out):
+    """A crash DURING the staging write leaves a partial _staging dir; the
+    next attempt must discard it and produce exactly-once output."""
+    seqs = gen_sequences(spark, 1_000, num_partitions=2)
+    dim = gen_source_dim(spark)
+    run_dir = os.path.join(tmp_out, "run_id=stale")
+    staging = os.path.join(run_dir, "_staging")
+    os.makedirs(os.path.join(staging, "sink=sink_dev"), exist_ok=True)
+    with open(os.path.join(staging, "sink=sink_dev", "junk.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+
+    res = run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=tmp_out, run_id="stale"))
+    assert res.rows_staged == 1_000
+    got = _read_all_sinks(spark, tmp_out, "stale").toPandas()
+    assert len(got) == 1_000 and got.doc_id.is_unique
+    assert not os.path.exists(staging)
+
+
 def test_registrar_atomic_and_idempotent(tmp_path, spark):
     reg = Registrar(str(tmp_path / "ck"))
     reg.commit("r1", "sink_a", [LineageRow(0, 10, 100), LineageRow(1, 5, 50)])
