@@ -95,6 +95,10 @@ input splits.
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out, "w") as fh:
         fh.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as fh:
+        json.dump({"pair": list(pair), "efficiency": round(eff, 3),
+                   "pass": eff >= 0.8,
+                   "curve_seq_per_sec": {str(c): levels[c]["seq_per_sec"] for c in cores_sorted}}, fh)
     print(json.dumps({"pair": pair, "efficiency": round(eff, 3),
                       "pass": eff >= 0.8, "levels": {c: levels[c]["seq_per_sec"] for c in cores_sorted}}))
 

@@ -65,6 +65,17 @@ def ensure_input(spark, sf: float) -> str:
     return path
 
 
+def _scaling_result() -> dict | None:
+    """Measured N->4N scaling evidence (BENCH/scaling.py protocol), if
+    present — see BENCH/BASELINE.md for the full curve and methodology."""
+    p = os.path.join(REPO, "BENCH", "scaling_result.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -135,6 +146,7 @@ def main() -> None:
                 "sequences_per_sec": round(n_rows / e2e),
                 "cpus": cpus,
                 "trials": trials,
+                "scaling": _scaling_result(),
             }
         )
     )
