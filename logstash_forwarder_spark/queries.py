@@ -291,19 +291,26 @@ FROM documents
 """
 
 
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents from a double: floor(x*100 + 0.5) — the identical
+    binary-double expression in both engines, so the per-row result (and
+    therefore the integer sum) is bit-equal. DECIMAL is banned from compared
+    outputs: engines render it differently, which breaks value hashing."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
 def q_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy aggregate (TPC-H Q1 shape) — exact via DECIMAL, not float sums."""
+    """Heavy aggregate (TPC-H Q1 shape) — exact integer-cent sums, no
+    DECIMAL/float in the compared output."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_base_price"),
+            F.sum(_cents(F.col("l_quantity"))).cast("long").alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice")))
+            .cast("long")
+            .alias("sum_base_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -311,8 +318,8 @@ def q_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_AGG = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -327,9 +334,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("value_total"),
+            F.sum(_cents(F.col("value"))).cast("long").alias("value_cents"),
         )
     )
 
@@ -337,7 +342,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 
