@@ -92,10 +92,11 @@ def ngram_jaccard_pairs(
     ``common * 100 >= threshold_pct * (|A| + |B| - common)`` avoids float
     entirely. Shingles appearing in > max_shingle_df docs are dropped before
     the self-join (standard DF-cap: they would dominate the join fan-out
-    while contributing little discrimination).
+    while contributing little discrimination). Doc sizes are computed from
+    the SAME capped relation, so the Jaccard is exact over the capped
+    shingle universe — numerator and denominator see identical shingles.
     """
     sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sh_count"))
     df_cap = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("sdf"))
@@ -103,6 +104,7 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(df_cap, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sh_count"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

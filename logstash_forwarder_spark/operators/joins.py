@@ -33,22 +33,26 @@ def asof_join(
     values forward with ``last(ignorenulls=True)``. One shuffle + one sort,
     both on the ``by`` key: survives arbitrarily large sides.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    # carry ONE struct of all value columns, not each column independently:
+    # per-column last(ignorenulls) would backfill a NULL field of the latest
+    # right row from an older right row, emitting a composite match that
+    # never existed as a single right row.
+    vals_type = T.StructType([right.schema[c] for c in value_cols])
     tagged_r = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, on)],
     )
     tagged_l = left.select(
         F.col(by),
         F.col(on),
         F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(vals_type).alias("_rvals"),
         *[F.col(c) for c in lcols if c not in (by, on)],
     )
     u = tagged_r.unionByName(tagged_l)
@@ -58,17 +62,13 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_carr_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rvals", ignorenulls=True).over(w).alias("_carr")
     )
     out = carried.filter(F.col("_side") == 1).select(
         F.col(by),
         F.col(on),
         *[F.col(c) for c in lcols if c not in (by, on)],
-        *[F.col(f"_carr_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col("_carr").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
 

@@ -83,7 +83,9 @@ def parse_flat(flat: np.ndarray, offsets: np.ndarray) -> dict[str, np.ndarray]:
         if n <= (1 << 15) and vals.size and 0 <= int(vals.min()) and int(vals.max()) < (1 << 16):
             key = (row_idx.astype(np.int32) << 16) | vals
         else:
-            key = (row_idx << 32) | vals.astype(np.int64)
+            # mask to 32 bits: negative token values would sign-extend into
+            # the row bits and corrupt the per-row distinct count
+            key = (row_idx << 32) | (vals.astype(np.int64) & 0xFFFFFFFF)
         key.sort()
         changed = np.empty(total, dtype=bool)
         changed[0] = True

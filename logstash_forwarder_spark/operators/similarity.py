@@ -125,14 +125,15 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         signature_col(F.col(vec_col), planes).alias("bucket"),
     )
-    # multi-probe: each query probes its own bucket plus radius-1..r flips
-    probes = [F.lit(0)] + [F.lit(1 << p) for p in range(n_planes)]
-    if hamming_radius >= 2:
-        probes += [
-            F.lit((1 << p) ^ (1 << q))
-            for p in range(n_planes)
-            for q in range(p + 1, n_planes)
-        ]
+    # multi-probe: each query probes its own bucket plus every bucket within
+    # hamming_radius bit-flips (all C(n_planes, r) masks per radius r)
+    import itertools
+
+    probes = [
+        F.lit(sum(1 << p for p in combo))
+        for r in range(hamming_radius + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -75,11 +75,21 @@ class Registrar:
             },
             schema=_ARROW_SCHEMA,
         )
-        final = os.path.join(self.path, f"{_safe(run_id)}__{_safe(sink)}.parquet")
+        final = os.path.join(self.path, self._commit_name(run_id, sink))
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(table, tmp)
         os.replace(tmp, final)  # registrar_other.go:9-15, reborn
         return final
+
+    @staticmethod
+    def _commit_name(run_id: str, sink: str) -> str:
+        """Collision-free commit filename: readable prefix + hash of the RAW
+        (run_id, sink) pair. Prefix-only naming collided for pairs differing
+        in characters the sanitizer mangles (e.g. 'r__x'/'y' vs 'r'/'x__y')."""
+        import hashlib
+
+        h = hashlib.sha256(f"{run_id}\x00{sink}".encode()).hexdigest()[:16]
+        return f"{_safe(run_id)[:32]}__{_safe(sink)[:32]}__{h}.parquet"
 
     # -- read side -----------------------------------------------------------
 

@@ -645,10 +645,12 @@ SQL_NGRAM_JACCARD = r"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
   FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
   WHERE len(w) >= 3),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN capped USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common

@@ -33,6 +33,22 @@ def test_asof_join_equal_ts_inclusive(spark):
     assert row.val_matched == 7  # <= is inclusive
 
 
+def test_asof_join_null_field_not_backfilled(spark):
+    """All matched values must come from the SAME (latest) right row: a NULL
+    field in the latest match must stay NULL, not be backfilled from an
+    older right row (which would fabricate a composite row)."""
+    left = spark.createDataFrame([("u", 20, "x")], "user string, ts long, tag string")
+    right = spark.createDataFrame(
+        [("u", 5, 100, 1), ("u", 15, None, 2)],
+        "user string, ts long, val long, other long",
+    )
+    row = asof_join(
+        left, right, on="ts", by="user", value_cols=["val", "other"]
+    ).first()
+    assert row.other_matched == 2  # latest right row (ts=15)
+    assert row.val_matched is None  # its NULL val is NOT filled from ts=5
+
+
 def test_range_bucket_join(spark):
     points = spark.createDataFrame([(1, 5), (2, 25), (3, 99)], "id long, x long")
     ranges = spark.createDataFrame(

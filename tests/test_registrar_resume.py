@@ -85,9 +85,9 @@ def test_published_but_uncheckpointed_sink_is_redone(spark, tmp_out):
     reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
     # simulate the crash gap: data published, checkpoint row missing
     victim = sorted(reg.committed_sinks("gap"))[0]
-    for f in os.listdir(os.path.join(tmp_out, "_checkpoint")):
-        if f == f"gap__{victim}.parquet":
-            os.remove(os.path.join(tmp_out, "_checkpoint", f))
+    os.remove(
+        os.path.join(tmp_out, "_checkpoint", Registrar._commit_name("gap", victim))
+    )
     assert victim not in reg.committed_sinks("gap")
 
     res = run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=tmp_out, run_id="gap"))
