@@ -131,6 +131,87 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow sketch kernels — signatures are row-local, so they are computed
+# inside the scan (mapInArrow), NEVER via a groupBy over exploded shingles:
+# the exploded relation is 50-500× the input and shuffling it just to take
+# per-row mins was the single largest cost in the round-1 bench (27 s of a
+# 92 s e2e at sf0.1). Pattern follows operators/parse.py.
+# ---------------------------------------------------------------------------
+
+
+def _mix3(h1, h2, h3, seed: int):
+    """Combine 3 consecutive word hashes into a shingle hash (uint64 wraps)."""
+    import numpy as np
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    s = np.uint64(seed * 2 + 1)
+    h = (h1 ^ s) * P
+    h = (h ^ h2) * P
+    h = (h ^ h3) * P
+    return h ^ (h >> np.uint64(29))
+
+
+def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
+    """Per Arrow batch: normalized word n-gram shingle hashes, distinct per
+    row. Returns (seg_rows, seg_starts, dhash, dcounts):
+
+    * seg_rows   — batch row indices that have ≥1 shingle (ascending)
+    * seg_starts — start offset of each row's segment inside ``dhash``
+    * dhash      — uint64 distinct shingle hashes, grouped by row
+    * dcounts    — distinct-shingle count per present row
+
+    Word strings are hashed once (pandas' vectorized 64-bit string hash);
+    shingle hashes combine 3 consecutive word hashes arithmetically, so no
+    shingle string is ever materialized.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if n != 3:  # the arithmetic combiner below is written for n = 3
+        raise ValueError("arrow shingle kernel supports n=3 (DEFAULT_SHINGLE)")
+    col = batch.column(batch.schema.get_field_index(text_name))
+    txt = pc.fill_null(col, "")
+    txt = pc.utf8_lower(pc.utf8_trim(pc.replace_substring_regex(txt, r"\s+", " "), " "))
+    words = pc.split_pattern(txt, " ")
+    if isinstance(words, pa.ChunkedArray):  # pragma: no cover
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=True).astype(np.int64)
+    base = int(offs[0])
+    starts = offs[:-1] - base
+    wlens = offs[1:] - offs[:-1]
+    flat_words = words.values.slice(base, int(offs[-1]) - base)
+    wh = pd.util.hash_array(flat_words.to_numpy(zero_copy_only=False))  # uint64
+
+    slens = np.maximum(wlens - (n - 1), 0)
+    total_sh = int(slens.sum())
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64), np.empty(0, np.int64))
+    if not total_sh:
+        return empty
+    row_of_sh = np.repeat(np.arange(len(slens), dtype=np.int64), slens)
+    seg0 = np.cumsum(slens) - slens
+    within = np.arange(total_sh, dtype=np.int64) - np.repeat(seg0, slens)
+    pos = starts[row_of_sh] + within
+    sh = _mix3(wh[pos], wh[pos + 1], wh[pos + 2], seed)
+
+    # distinct per row: sort (row, hash), drop consecutive duplicates
+    order = np.lexsort((sh, row_of_sh))
+    srow, shash = row_of_sh[order], sh[order]
+    keep = np.empty(total_sh, dtype=bool)
+    keep[0] = True
+    keep[1:] = (srow[1:] != srow[:-1]) | (shash[1:] != shash[:-1])
+    drow, dhash = srow[keep], shash[keep]
+    seg_starts = np.flatnonzero(
+        np.concatenate(([True], drow[1:] != drow[:-1]))
+    ).astype(np.int64)
+    seg_rows = drow[seg_starts]
+    dcounts = np.diff(np.append(seg_starts, len(drow)))
+    return seg_rows, seg_starts, dhash, dcounts
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -140,17 +221,41 @@ def minhash_signatures(
     k: int = DEFAULT_MINHASH_K,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[k]) — min over xxhash64(shingle, perm) per
-    permutation. One explode + k min-aggregates, all JVM-side."""
-    sh = shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + p))).alias(f"h{p}")
-        for p in range(k)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col), F.array(*[F.col(f"h{p}") for p in range(k)]).alias("sig")
-    )
+    """(id, sig: array<bigint>[k]) — k-permutation minhash over distinct
+    word n-gram shingles, computed entirely inside the scan (mapInArrow):
+    per permutation p, sig[p] = min over shingles of (A_p * h + B_p) in
+    uint64. Rows with no shingles are dropped (same as the exploded-groupBy
+    formulation this replaces). No shuffle anywhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(1, 1 << 62, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 1 << 62, size=k, dtype=np.uint64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sig array<bigint>"
+
+    def op(batches):
+        for b in batches:
+            seg_rows, seg_starts, dhash, _ = _distinct_shingle_hashes(
+                b, text_col, n, seed
+            )
+            m = len(seg_rows)
+            sig = np.empty((m, k), dtype=np.uint64)
+            for p in range(k):
+                v = dhash * A[p] + B[p]
+                if m:
+                    sig[:, p] = np.minimum.reduceat(v, seg_starts)
+            ids = b.column(b.schema.get_field_index(id_col)).take(
+                pa.array(seg_rows, pa.int64())
+            )
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(m + 1, dtype=np.int64) * k, pa.int32()),
+                pa.array(sig.reshape(-1).view(np.int64), pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig_col], names=[id_col, "sig"])
+
+    return df.select(id_col, text_col).mapInArrow(op, schema=out_schema)
 
 
 def minhash_lsh_pairs(
@@ -229,34 +334,62 @@ def simhash_chunks(
     n_chunks: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """64-bit SimHash as n_chunks equal bit-chunks (c0..c{n_chunks-1}, ints).
-
-    Bit i of the sketch is the sign of Σ_shingles (±1 by bit i of
-    xxhash64(shingle)). Computed as 64 conditional sums over one exploded
-    shingle relation — wide but fully codegen'd, single shuffle. More chunks
-    → blocking catches larger hamming distances (≤ n_chunks-1 guaranteed by
-    pigeonhole) at the cost of more candidate pairs.
+    """64-bit SimHash as n_chunks equal bit-chunks (c0..c{n_chunks-1}, ints),
+    computed inside the scan (mapInArrow): bit i of the sketch is the sign
+    of Σ over distinct shingles of ±1 by bit i of the shingle hash —
+    i.e. ones_i * 2 > count. One bit-unpack + one reduceat per batch, no
+    shuffle (this replaces 64 conditional sums through a groupBy over the
+    exploded shingle relation). More chunks → blocking catches larger
+    hamming distances (≤ n_chunks-1 guaranteed by pigeonhole) at the cost
+    of more candidate pairs. Rows with no shingles are dropped.
     """
+    import numpy as np
+    import pyarrow as pa
+
     if 64 % n_chunks:
         raise ValueError("n_chunks must divide 64")
     bits_per = 64 // n_chunks
-    sh = shingles(df, id_col, text_col, n)
-    h = F.xxhash64(F.col("shingle"), F.lit(seed))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
-    chunk_cols = []
-    for c in range(n_chunks):
-        expr = F.lit(0)
-        for j in range(bits_per):
-            bit = F.when(F.col(f"b{c * bits_per + j}") > 0, 1).otherwise(0)
-            expr = expr + bit * F.lit(1 << j)
-        chunk_cols.append(expr.cast("int").alias(f"c{c}"))
-    return agg.select(F.col(id_col), *chunk_cols)
+    id_type = df.schema[id_col].dataType.simpleString()
+    ccols = [f"c{c}" for c in range(n_chunks)]
+    out_schema = ", ".join([f"{id_col} {id_type}"] + [f"{c} int" for c in ccols])
+
+    def op(batches):
+        for b in batches:
+            seg_rows, seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+                b, text_col, n, seed
+            )
+            m = len(seg_rows)
+            # (total_shingles, 64) 0/1 matrix, little-endian bit order
+            bits = np.unpackbits(
+                dhash.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            if m:
+                # per-segment column sums via cumsum + boundary differences:
+                # 2-D reduceat along axis 0 iterates per segment per column
+                # (measured 11 s on 260k×64) — the cumsum formulation is two
+                # sequential passes (~50 ms)
+                csum = np.cumsum(bits, axis=0, dtype=np.int64)
+                ends = np.append(seg_starts[1:], len(bits))
+                upper = csum[ends - 1]
+                lower = np.zeros_like(upper)
+                nz = seg_starts > 0
+                lower[nz] = csum[seg_starts[nz] - 1]
+                ones = upper - lower
+            else:
+                ones = np.zeros((0, 64), dtype=np.int64)
+            sketch = (ones * 2 > dcounts[:, None]).astype(np.int64)  # (m, 64)
+            weights = np.left_shift(1, np.arange(bits_per, dtype=np.int64))
+            chunks = sketch.reshape(m, n_chunks, bits_per) @ weights  # (m, n_chunks)
+            ids = b.column(b.schema.get_field_index(id_col)).take(
+                pa.array(seg_rows, pa.int64())
+            )
+            arrays = [ids] + [
+                pa.array(chunks[:, c].astype(np.int32), pa.int32())
+                for c in range(n_chunks)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=[id_col] + ccols)
+
+    return df.select(id_col, text_col).mapInArrow(op, schema=out_schema)
 
 
 def simhash_pairs(

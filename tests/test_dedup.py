@@ -68,6 +68,50 @@ def test_minhash_lsh_pairs(spark):
     assert all(4 not in p for p in got)
 
 
+def test_sketch_kernel_vs_builtin_shingles(spark):
+    """Independent witness for the Arrow shingle kernel: per-doc distinct
+    shingle hashes must be exactly as numerous as the JVM-builtin shingle
+    relation's distinct shingles (hash collisions aside), and identical docs
+    must get identical signatures."""
+    from logstash_forwarder_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_chunks,
+    )
+
+    df = _docs(spark)
+    want = {r.doc_id: r.n for r in
+            shingles(df).groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+
+    sigs = {r.doc_id: list(r.sig) for r in minhash_signatures(df).collect()}
+    # docs 1 and 2 are equal after normalization → identical signatures
+    assert sigs[1] == sigs[2]
+    # every doc with shingles is present; none without
+    assert set(sigs) == {d for d, n in want.items() if n > 0}
+
+    # simhash: identical normalized docs → identical chunks; and the doc set
+    # matches the builtin shingle relation's
+    ch = {r.doc_id: (r.c0, r.c1, r.c2, r.c3) for r in simhash_chunks(df).collect()}
+    assert ch[1] == ch[2]
+    assert set(ch) == set(sigs)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Statistical witness: for the (1,3) near-dup pair, the kernel's
+    signature-slot agreement must sit near the exact shingle Jaccard
+    (k=32 → binomial std ≈ 8 pct-points; allow 3σ)."""
+    from logstash_forwarder_spark.operators.dedup import minhash_signatures
+
+    df = _docs(spark)
+    sh = {d: set() for d in (1, 3)}
+    for r in shingles(df).collect():
+        if r.doc_id in sh:
+            sh[r.doc_id].add(r.shingle)
+    exact = 100 * len(sh[1] & sh[3]) / len(sh[1] | sh[3])
+    sigs = {r.doc_id: list(r.sig) for r in minhash_signatures(df).collect()}
+    est = 100 * sum(a == b for a, b in zip(sigs[1], sigs[3])) / len(sigs[1])
+    assert abs(est - exact) <= 25  # 3σ for k=32 at J≈0.7
+
+
 LONG_BASE = " ".join(
     f"token{i} word{i % 7} item{i % 11}" for i in range(40)
 )  # 120 words → 118 shingles
