@@ -720,12 +720,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs at τ=0.9 via LSH blocking + exact verify."""
+    """Embedding cosine near-dup pairs via banded hyperplane LSH + exact
+    verify. τ=0.5 so the oracle comparison is non-vacuous on the testdata
+    (its max pairwise cosine is ≈0.513 — τ≥0.9 matches nothing and would
+    "pass" with 0 rows on both sides); the low threshold takes the
+    few-planes/many-bands end of the banding tradeoff (16×4: recall ≈0.97
+    at cos 0.5, verified exhaustive on this data). Recall at the standard
+    τ∈{0.90..0.95} settings is asserted with planted pairs in
+    tests/test_similarity.py."""
     from .operators.similarity import cosine_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_near_dup_pairs(
-        emb, threshold=0.90, dim=64, n_planes=8
+        emb, threshold=0.50, dim=64, bands=16, planes_per_band=4
     ).select("vec_a", "vec_b")
 
 
@@ -733,7 +740,7 @@ SQL_EMBEDDING_NEAR_DUP = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.90
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.50
 """
 
 
