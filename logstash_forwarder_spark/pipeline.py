@@ -102,24 +102,52 @@ def run_pipeline(
         has_staged = any(
             d.startswith("sink=") for d in os.listdir(staging)
         )  # zero routed rows → only _SUCCESS; parquet read would fail
+        lineage_staging = os.path.join(run_dir, "_lineage_staging")
+        shutil.rmtree(lineage_staging, ignore_errors=True)
+        lineage_files: dict[str, str] = {}
         if has_staged:
             staged = spark.read.parquet(staging)
-            # per-partition lineage for every staged sink, one columnar scan;
-            # rows_staged falls out of it — no separate count job
-            lineage_pdf = (
+            # per-partition lineage, one columnar scan, WRITTEN BY EXECUTORS
+            # — the driver never materializes a row per input partition
+            # (a toPandas() here scales with partition count; VERDICT r1 #6).
+            # repartition(1) funnels the metadata-sized relation through one
+            # executor so partitionBy yields exactly one file per sink.
+            (
                 staged.groupBy("sink", "part_id")
                 .agg(
                     F.count(F.lit(1)).alias("row_count"),
                     F.coalesce(F.sum("n_tok"), F.lit(0)).alias("token_total"),
                 )
-                .toPandas()
+                .select(
+                    F.lit(spec.run_id).alias("run_id"),
+                    F.col("sink"),
+                    F.col("part_id").cast("int").alias("partition_id"),
+                    F.col("row_count").cast("long"),
+                    F.col("token_total").cast("long"),
+                    F.current_timestamp().alias("committed_at"),
+                    F.col("sink").alias("sink_part"),
+                )
+                .repartition(1)
+                .write.partitionBy("sink_part")
+                .parquet(lineage_staging)
             )
-            rows_staged = int(lineage_pdf["row_count"].sum())
-        else:
-            import pandas as pd
-
-            lineage_pdf = pd.DataFrame(
-                columns=["sink", "part_id", "row_count", "token_total"]
+            for d in os.listdir(lineage_staging):
+                if not d.startswith("sink_part="):
+                    continue
+                sink = d.split("=", 1)[1]
+                parts = [
+                    f
+                    for f in os.listdir(os.path.join(lineage_staging, d))
+                    if f.endswith(".parquet")
+                ]
+                lineage_files[sink] = os.path.join(lineage_staging, d, parts[0])
+            # rows_staged from the metadata-sized lineage relation, not a
+            # second scan of the staged data
+            rows_staged = int(
+                spark.read.option("basePath", lineage_staging)
+                .parquet(lineage_staging)
+                .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
+                .first()[0]
             )
 
         n_committed = 0
@@ -136,15 +164,8 @@ def run_pipeline(
                 committed.append(sink)
                 continue
             os.replace(src, dst)  # atomic publish = the ack (O-R5)
-            rows = lineage_pdf[lineage_pdf["sink"] == sink]
-            reg.commit(
-                spec.run_id,
-                sink,
-                [
-                    LineageRow(int(r.part_id), int(r.row_count), int(r.token_total))
-                    for r in rows.itertuples()
-                ],
-            )
+            # checkpoint = adopting the executor-written lineage file
+            reg.commit_file(spec.run_id, sink, lineage_files[sink])
             committed.append(sink)
             n_committed += 1
             if (
@@ -155,6 +176,12 @@ def run_pipeline(
                     f"injected crash after {n_committed} sink commits"
                 )
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(lineage_staging, ignore_errors=True)
+    else:
+        # fully-committed run killed before its cleanup: the resume has no
+        # sink work, but the crashed attempt's staging leftovers are garbage
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(os.path.join(run_dir, "_lineage_staging"), ignore_errors=True)
 
     # north-rule metrics: per-sink/per-source counts + token totals (salted)
     published = [

@@ -81,6 +81,15 @@ class Registrar:
         os.replace(tmp, final)  # registrar_other.go:9-15, reborn
         return final
 
+    def commit_file(self, run_id: str, sink: str, src_path: str) -> str:
+        """Atomically adopt an executor-written lineage parquet file as this
+        (run_id, sink)'s commit — the zero-driver-materialization path: the
+        lineage rows never exist driver-side, only the rename does.
+        Idempotent like commit(): re-adoption overwrites."""
+        final = os.path.join(self.path, self._commit_name(run_id, sink))
+        os.replace(src_path, final)
+        return final
+
     @staticmethod
     def _commit_name(run_id: str, sink: str) -> str:
         """Collision-free commit filename: readable prefix + hash of the RAW
@@ -112,11 +121,20 @@ class Registrar:
                     done.add(sink)
         return done
 
+    @staticmethod
+    def _read_commit(f: str) -> pa.Table:
+        """Read one commit file normalized to the registrar schema — commit
+        files come from two writers (driver pyarrow for empty sinks,
+        executor Spark for data sinks) whose physical types differ slightly
+        (e.g. timestamp unit/tz), so cast on read."""
+        t = pq.read_table(f)
+        return t.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
+
     def lineage(self, run_id: str | None = None) -> pa.Table:
         files = self._files()
         if not files:
             return _ARROW_SCHEMA.empty_table()
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = pa.concat_tables([self._read_commit(f) for f in files])
         if run_id is not None:
             import pyarrow.compute as pc
 
