@@ -267,18 +267,25 @@ def minhash_lsh_pairs(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
     Docs sharing any band (all rows of the band equal) become a candidate
     pair. Returns (doc_a, doc_b, est_jaccard_pct: long) where the estimate
     is the fraction of matching signature slots ×100 (integer).
+
+    Pass ``signatures`` (a persisted ``minhash_signatures`` output) to avoid
+    recomputing the kernel on both sides of the self-join — at scale the
+    signature table is materialized once and reused across dedup runs.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows_per_band = k // bands
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
     )
     banded = sigs.select(
         id_col,
@@ -401,13 +408,17 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     seed: int = 42,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Blocking finds
     every pair with hamming ≤ n_chunks-1 (pigeonhole: some chunk matches
     exactly → equi-join); beyond that recall decays — raise n_chunks for
-    small/noisy docs."""
-    sk = simhash_chunks(
-        df, id_col=id_col, text_col=text_col, n=n, n_chunks=n_chunks, seed=seed
+    small/noisy docs. Pass ``chunks`` (a persisted ``simhash_chunks``
+    output) to avoid recomputing the kernel on both self-join sides."""
+    sk = (
+        chunks
+        if chunks is not None
+        else simhash_chunks(df, id_col=id_col, text_col=text_col, n=n, n_chunks=n_chunks, seed=seed)
     )
     ccols = [f"c{c}" for c in range(n_chunks)]
     blocked = sk.select(

@@ -40,20 +40,32 @@ def _fake_features(payloads: pd.Series) -> pd.Series:
 def _real_decode(kind: str):
     raise NotImplementedError(
         f"media decode for kind={kind!r} needs PIL/torchaudio/ffmpeg — "
-        "not available in this container; run with fake=True for plumbing tests"
+        "not available in this container; pass codec=... (a batch decoder) "
+        "or fake=True for plumbing tests"
     )
 
 
-def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
+def decode_media(df: DataFrame, *, codec=None, fake: bool = False) -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas (Arrow batches).
 
+    ``codec`` is the injection seam for a real decoder: a callable
+    ``(kinds: pd.Series[str], payloads: pd.Series[bytes]) ->
+    pd.Series[array-like float32[FEATURE_DIM]]`` evaluated per Arrow batch
+    on executors (shipped by closure, so it may hold a lazily-initialized
+    PIL/ffmpeg handle). ``fake=True`` substitutes a deterministic
+    byte-derived feature vector so the distributed plumbing — schema,
+    batch shape, partition preservation — is exercised without media libs.
+    With neither, raises NotImplementedError (this container has no codecs).
+
     Batch shape: the iterator yields whole Arrow batches; per-batch work is
-    vectorized numpy. Partitioning is preserved — no shuffle.
+    vectorized. Partitioning is preserved — no shuffle.
     """
+    if codec is None and fake:
+        codec = lambda kinds, payloads: _fake_features(payloads)  # noqa: E731
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if codec is None:
                 _real_decode(pdf["kind"].iloc[0] if len(pdf) else "?")
             yield pd.DataFrame(
                 {
@@ -62,7 +74,7 @@ def decode_media(df: DataFrame, *, fake: bool = False) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "features": _fake_features(pdf["payload"]),
+                    "features": codec(pdf["kind"], pdf["payload"]),
                 }
             )
 

@@ -33,6 +33,28 @@ def test_decode_fake_plumbing(spark):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_decode_codec_injection(spark):
+    """The codec seam: a user-supplied batch decoder (stand-in for a real
+    PIL/ffmpeg feature extractor) runs on executors and its output flows
+    through the same schema/partition plumbing as the fake path."""
+    import numpy as np
+
+    def first_bytes_codec(kinds, payloads):
+        return payloads.map(
+            lambda p: np.frombuffer(p[: FEATURE_DIM * 4], dtype=np.uint8)[
+                :FEATURE_DIM
+            ].astype(np.float32)
+        )
+
+    media = gen_media(spark, 50)
+    rows = decode_media(media, codec=first_bytes_codec).collect()
+    assert len(rows) == 50
+    payload = {r.media_id: r for r in media.collect()}
+    for r in rows[:10]:
+        want = list(payload[r.media_id].payload[:FEATURE_DIM])
+        assert [int(x) for x in r.features] == want
+
+
 def test_decode_real_is_stubbed(spark):
     media = gen_media(spark, 10)
     with pytest.raises(Exception) as ei:
