@@ -449,6 +449,8 @@ def simhash_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming is pair-intrinsic, so filtering BEFORE the dedup shrinks
+        # the dropDuplicates shuffle to just the surviving pairs
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -88,23 +88,6 @@ def _plane(dim: int, plane_id: int, seed: int) -> list[float]:
     return [float(x) for x in rng.normal(size=dim)]
 
 
-def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as an int (bit p = 1 iff dot(vec, plane_p) > 0)."""
-    sig = F.lit(0)
-    for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig.cast("int")
-
-
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -117,16 +100,21 @@ def lsh_topk(
     hamming_radius: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: bucket by hyperplane signature, probe all buckets
-    within ``hamming_radius`` bit-flips (multi-probe), exact re-rank inside
-    candidates. Output shape matches brute_force_topk (+ ``probed`` count).
+    """Approximate top-k: bucket by hyperplane signature (one Arrow-kernel
+    matmul over the scan — see banded_signatures), probe all buckets within
+    ``hamming_radius`` bit-flips (multi-probe), exact re-rank inside
+    candidates. Output shape matches brute_force_topk.
     """
-    planes = [_plane(dim, p, seed) for p in range(n_planes)]
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
+    c = banded_signatures(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        vec_col="c_vec",
+        dim=dim,
+        bands=1,
+        planes_per_band=n_planes,
+        seed=seed,
+    ).withColumnRenamed("band0", "bucket")
     # multi-probe: each query probes its own bucket plus every bucket within
     # hamming_radius bit-flips (all C(n_planes, r) masks per radius r)
     import itertools
@@ -137,14 +125,20 @@ def lsh_topk(
         for combo in itertools.combinations(range(n_planes), r)
     ]
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            signature_col(F.col(vec_col), planes).alias("q_sig"),
+        banded_signatures(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            vec_col="q_vec",
+            dim=dim,
+            bands=1,
+            planes_per_band=n_planes,
+            seed=seed,
         )
+        .withColumnRenamed("band0", "q_sig")
         .withColumn("_probe", F.explode(F.array(*probes)))
         .withColumn("bucket", F.col("_probe").bitwiseXOR(F.col("q_sig")).cast("int"))
-        .drop("_probe")
+        .drop("_probe", "q_sig")
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
