@@ -704,8 +704,11 @@ WHERE rank <= 5
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (approximate by design → rows-only oracle; recall vs
-    brute force asserted in tests/test_similarity.py)."""
+    """IVF top-5 in exhaustive-probe mode (n_probe = n_cells): probing every
+    Voronoi cell makes IVF EXACT, so the whole machinery — distributed
+    k-means fit, kernel cell assignment, probe planning, per-cell re-rank —
+    is gated against the brute-force DuckDB oracle. The approximate setting
+    (n_probe < n_cells) is recall-tested in tests/test_similarity.py."""
     from .operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -714,7 +717,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 5),
         k=5,
         n_cells=16,
-        n_probe=4,
+        n_probe=16,
     )
     return got.select("query_id", "rank", "neighbor_id")
 
@@ -849,7 +852,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
     "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    "similarity_ivf": (q_similarity_ivf, None),  # approximate → rows-only
+    # exhaustive-probe IVF is exact → same oracle as brute force
+    "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
