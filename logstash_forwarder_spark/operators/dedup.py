@@ -268,6 +268,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     seed: int = 42,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -278,6 +279,12 @@ def minhash_lsh_pairs(
     Pass ``signatures`` (a persisted ``minhash_signatures`` output) to avoid
     recomputing the kernel on both sides of the self-join — at scale the
     signature table is materialized once and reused across dedup runs.
+
+    ``max_bucket`` is the web-scale guard: a (band, bucket) shared by g docs
+    emits g² candidates, so one mega-cluster of identical boilerplate makes
+    the join quadratic. Buckets larger than the cap are dropped (their
+    members are still found through their other bands unless they are
+    near-identical — run exact dedup first, which removes exactly those).
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
@@ -307,6 +314,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -330,6 +338,24 @@ def minhash_lsh_pairs(
         "doc_b",
         (matches * 100 / F.lit(k)).cast("long").alias("est_jaccard_pct"),
     )
+
+
+def _cap_buckets(
+    blocked: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop blocking buckets with more than max_bucket members (None = no
+    cap). The size relation is tiny (one row per distinct bucket) and the
+    filter is a broadcast-able semi-join, so the cap costs one cheap
+    aggregate while bounding the self-join at O(max_bucket²) per bucket."""
+    if max_bucket is None:
+        return blocked
+    ok = (
+        blocked.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket)
+        .select(*keys)
+    )
+    return blocked.join(ok, keys, "left_semi")
 
 
 def simhash_chunks(
@@ -409,12 +435,14 @@ def simhash_pairs(
     n_chunks: int = 4,
     seed: int = 42,
     chunks: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming. Blocking finds
     every pair with hamming ≤ n_chunks-1 (pigeonhole: some chunk matches
     exactly → equi-join); beyond that recall decays — raise n_chunks for
     small/noisy docs. Pass ``chunks`` (a persisted ``simhash_chunks``
-    output) to avoid recomputing the kernel on both self-join sides."""
+    output) to avoid recomputing the kernel on both self-join sides;
+    ``max_bucket`` drops hot blocking buckets (see minhash_lsh_pairs)."""
     sk = (
         chunks
         if chunks is not None
@@ -433,6 +461,7 @@ def simhash_pairs(
             )
         ).alias("blk"),
     ).select(id_col, *ccols, "blk.chunk_id", "blk.chunk")
+    blocked = _cap_buckets(blocked, ["chunk_id", "chunk"], max_bucket)
     a = blocked.alias("a")
     b = blocked.alias("b")
     ham = sum(

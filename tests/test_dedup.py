@@ -68,6 +68,22 @@ def test_minhash_lsh_pairs(spark):
     assert all(4 not in p for p in got)
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket drops mega-cluster buckets: 30 identical docs form a
+    30-member bucket in every band → capped at 10, none of their C(30,2)
+    pairs are emitted, while an unrelated near-dup pair still is."""
+    rows = [(i, BASE) for i in range(100, 130)]  # identical mega-cluster
+    rows += [(1, LONG_BASE), (2, LONG_NEAR)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(df, max_bucket=10).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (1, 2) in got
+    assert not any(a >= 100 or b >= 100 for a, b in got)
+    # uncapped finds the cluster pairs
+    full = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (100, 101) in full and (1, 2) in full
+
+
 def test_sketch_kernel_vs_builtin_shingles(spark):
     """Independent witness for the Arrow shingle kernel: per-doc distinct
     shingle hashes must be exactly as numerous as the JVM-builtin shingle
