@@ -49,6 +49,32 @@ def test_parse_batch_known_values():
     assert out["head_token"][5] == 7 and out["tail_token"][5] == 7
 
 
+def test_parse_flat_int64_path_handles_negatives_and_wide_vocab():
+    """The packed-key fallback (row_idx<<32 | value) must mask values to 32
+    bits: a negative token would sign-extend into the row bits and corrupt
+    n_distinct. Exercise both fallback triggers (negatives; vocab ≥ 2^16)
+    and cross-check distinct counts against python sets."""
+    from logstash_forwarder_spark.operators.parse import parse_flat
+
+    rng = np.random.default_rng(9)
+    rows = [
+        rng.integers(-5, 5, size=rng.integers(1, 40)).astype(np.int32)
+        for _ in range(200)
+    ] + [
+        rng.integers(0, 1 << 20, size=rng.integers(1, 40)).astype(np.int32)
+        for _ in range(200)
+    ]
+    lengths = np.array([len(r) for r in rows], dtype=np.int64)
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.concatenate(rows)
+    k = parse_flat(flat, offsets)
+    for i, r in enumerate(rows):
+        assert k["n_distinct"][i] == len(set(r.tolist())), i
+        assert k["tok_sum"][i] == int(r.sum())
+        assert k["tok_max"][i] == int(r.max())
+
+
 def test_parse_batch_empty_input():
     out = parse_token_batch(pd.Series([], dtype=object))
     assert len(out) == 0
