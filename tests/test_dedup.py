@@ -68,6 +68,63 @@ def test_minhash_lsh_pairs(spark):
     assert all(4 not in p for p in got)
 
 
+def test_shingle_kernel_vs_python_reference():
+    """Pure-kernel witness (no Spark): the vectorized segment arithmetic in
+    _distinct_shingle_hashes must agree with a naive per-row Python
+    implementation that shares only the word-hash and mix functions."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from logstash_forwarder_spark.operators.dedup import (
+        _distinct_shingle_hashes,
+        _mix3,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  Weird   SPACING\tand CASE  ",
+        "a b",  # too short for 3-shingles
+        "",
+        None,
+        "x y z x y z x y z",  # repeated shingles → distinctness matters
+        "one two three four five six seven",
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(range(len(texts)), pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+    seg_rows, seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+        batch, "text", 3, 42
+    )
+
+    # naive reference: per row, normalize → words → word hashes → shingle
+    # hashes → set
+    want = {}
+    for i, t in enumerate(texts):
+        t = t or ""
+        norm = re.sub(r"\s+", " ", t).strip(" ").lower()
+        words = norm.split(" ")
+        if len(words) < 3:
+            continue
+        wh = pd.util.hash_array(np.array(words, dtype=object))
+        hs = {
+            int(_mix3(wh[j], wh[j + 1], wh[j + 2], 42))
+            for j in range(len(words) - 2)
+        }
+        if hs:
+            want[i] = hs
+
+    got = {}
+    ends = np.append(seg_starts[1:], len(dhash))
+    for r, s, e in zip(seg_rows, seg_starts, ends):
+        got[int(r)] = {int(h) for h in dhash[s:e]}
+    assert got == want
+    assert [len(got[int(r)]) for r in seg_rows] == list(dcounts)
+
+
 def test_minhash_hot_bucket_cap(spark):
     """max_bucket drops mega-cluster buckets: 30 identical docs form a
     30-member bucket in every band → capped at 10, none of their C(30,2)
