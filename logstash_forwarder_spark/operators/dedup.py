@@ -146,10 +146,11 @@ def _mix3(h1, h2, h3, seed: int):
 
     P = np.uint64(0x9E3779B97F4A7C15)
     s = np.uint64(seed * 2 + 1)
-    h = (h1 ^ s) * P
-    h = (h ^ h2) * P
-    h = (h ^ h3) * P
-    return h ^ (h >> np.uint64(29))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        h = (h1 ^ s) * P
+        h = (h ^ h2) * P
+        h = (h ^ h3) * P
+        return h ^ (h >> np.uint64(29))
 
 
 def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):

@@ -1,0 +1,107 @@
+"""Sequence packing & chunking — the training-example assembly operators.
+
+A pre-training pipeline over the tokenized-sequences table (doc_id,
+tokens:array<int32>, n_tok, source) ends by assembling fixed-capacity
+training examples. Two standard strategies, both expressed as pure
+DataFrame plans (no Python in the hot path, no driver-side loops):
+
+* ``pack_contiguous`` — GPT-style stream packing: concatenate documents in
+  a deterministic order inside each partition key and cut the token stream
+  at exact ``capacity`` boundaries. A document's pack is decided by its
+  START offset in the stream, which is a window cumsum — one shuffle on the
+  partition key, no sequential/driver logic, identical result at any
+  parallelism. At 10^12 sequences the partition key (source, or
+  source+day) bounds window state per task; the window is never global.
+
+* ``chunk_tokens`` — split each over-long sequence into fixed ``window``
+  chunks with ``stride`` overlap (stride < window ⇒ overlapping context,
+  stride = window ⇒ disjoint). Row-local: ``sequence`` + ``posexplode`` +
+  ``slice``, all whole-stage-codegen built-ins; output row count is
+  ceil(n_tok/stride) per doc with zero shuffle.
+
+Reference analog: logstash-forwarder's spooler flushes events into
+fixed-size batches (spooler.go:22-61, harvester chunking at
+harvester.go:37-79); packing is the same cut-a-stream-into-capacity-
+batches semantic applied to token streams instead of event queues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def pack_contiguous(
+    df: DataFrame,
+    capacity: int,
+    size_col: str = "n_tok",
+    order_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Assign each row a ``pack_id`` by stream-order contiguous packing.
+
+    Rows are laid out in ``order_col`` order within each ``part_col``
+    group; ``start_off`` is the row's first-token offset in that stream and
+    ``pack_id = start_off DIV capacity`` (integer division, exact — no
+    float in the path). A document whose tokens straddle a boundary is
+    charged to the pack containing its first token, which is the common
+    pack-then-split-at-loader convention.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = df.withColumn(
+        "start_off", (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    )
+    return out.withColumn("pack_id", F.expr(f"start_off DIV {int(capacity)}"))
+
+
+def pack_stats(
+    df: DataFrame,
+    capacity: int,
+    size_col: str = "n_tok",
+    order_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Per-pack assembly stats: (part, pack_id, n_docs, tok_total)."""
+    packed = pack_contiguous(df, capacity, size_col, order_col, part_col)
+    return packed.groupBy(part_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("tok_total"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each row's token array into ``window``-sized chunks every
+    ``stride`` tokens: (id, chunk_id, chunk:array, chunk_len).
+
+    Chunks start at offsets 0, stride, 2*stride, … while the offset is
+    inside the array; the final chunk may be short. Rows with empty arrays
+    emit no chunks (``sequence(0, -1)`` would DESCEND in Spark — the
+    size > 0 filter guards that explicitly, see CLAUDE.md).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window/stride must be positive, got {window}/{stride}")
+    c = F.col(tokens_col)
+    offs = F.sequence(F.lit(0), F.size(c) - 1, F.lit(stride))
+    out = (
+        df.filter(F.size(c) > 0)
+        .select(F.col(id_col), c.alias("_toks"), F.posexplode(offs).alias("chunk_id", "off"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice("_toks", F.col("off") + 1, window).alias("chunk"),
+        )
+    )
+    return out.withColumn("chunk_len", F.size("chunk").cast("long"))

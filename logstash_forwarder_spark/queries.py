@@ -768,11 +768,14 @@ def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy(...).limit(k) compiles to TakeOrderedAndProject: per-partition
+    # top-k merged at the driver — never a single-partition global window
+    # over the whole vocabulary (billions of distinct tokens at 100 TB).
+    # The row_number window then ranks only the k surviving rows.
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(20)
     w = W.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "word", "n")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "word", "n"
     )
 
 
@@ -819,6 +822,169 @@ FROM documents GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# training-example assembly & corpus curation (operators/pack.py + compositions)
+# ---------------------------------------------------------------------------
+
+_N_WORDS_SQL = "length(text) - length(replace(text, ' ', '')) + 1"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/pack.py): GPT-style stream packing of
+    documents into capacity-2048 training examples; per-pack assembly stats.
+    pack_id is a window-cumsum start offset DIV capacity — one shuffle on
+    source, integer-exact, no sequential logic."""
+    from .operators.pack import pack_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+        ).cast("long").alias("n_tok"),
+    )
+    return pack_stats(d, capacity=2048).select(
+        "source", "pack_id", F.col("n_docs").cast("long").alias("n_docs"), "tok_total"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST({_N_WORDS_SQL} AS BIGINT) AS n_tok FROM documents),
+s AS (
+  SELECT source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+           AS start_off
+  FROM d)
+SELECT source, start_off // 2048 AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_total
+FROM s GROUP BY source, pack_id
+"""
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking (operators/pack.py): window=32, stride=16 over
+    each doc's word sequence — row-local sequence/posexplode/slice, all
+    codegen built-ins, zero shuffle."""
+    from .operators.pack import chunk_tokens
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("tokens"))
+    return chunk_tokens(d, window=32, stride=16).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_len",
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_OVERLAP = """
+SELECT doc_id, off // 16 AS chunk_id,
+       CAST(len(words[off+1 : off+32]) AS BIGINT) AS chunk_len,
+       array_to_string(words[off+1 : off+32], ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+     LATERAL unnest(generate_series(0, len(words) - 1, 16)) AS t(off)
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (reproducible train/eval splits): keep a
+    doc iff the first 8 hex digits of md5(doc_id ':' source) mod 100 < 37.
+    Engine-portable (md5 is standard), seedless-stable across reruns and
+    cluster sizes, and skew-free — exactly how a corpus pipeline carves
+    reproducible subsets without shuffling or sorting anything."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return d.filter(bucket < 37).select("doc_id", "source")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT
+      % 100 < 37
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms: integer-exact TF-IDF proxy
+    score = tf * 1e6 DIV df (df = #sources containing the word), top-3 per
+    source. Float-free so both engines rank identically; the window is
+    partitioned by source (never global)."""
+    d = _docs(spark, sf_dir)
+    words = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(
+        F.countDistinct("source").alias("df")
+    )
+    scored = tf.join(df_, "word").withColumn(
+        "score", F.expr("tf * 1000000 DIV df")
+    )
+    w = W.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "word", "score")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY source, word),
+idf AS (SELECT word, CAST(count(DISTINCT source) AS BIGINT) AS df
+        FROM words GROUP BY word),
+scored AS (SELECT source, word, tf * 1000000 // df AS score
+           FROM tf JOIN idf USING (word))
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, word ASC) AS BIGINT) AS rank,
+       word, score
+FROM scored QUALIFY rank <= 3
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: language filter → length filter →
+    exact dedup (operators/dedup.py, min-id keeper) → per-source survivor
+    stats. The shape every corpus-cleaning job takes; one hash-agg shuffle
+    for the dedup, one for the final stats."""
+    from .operators.dedup import dedup_exact
+
+    d = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(50, 400)
+    )
+    kept = dedup_exact(d)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_CORPUS_CLEAN = """
+WITH filtered AS (
+  SELECT doc_id, source, n_chars,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 50 AND 400),
+kept AS (
+  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp)
+SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f.n_chars) AS BIGINT) AS total_chars
+FROM filtered f JOIN kept USING (doc_id)
+GROUP BY f.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
 
@@ -858,6 +1024,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
 }
 
 

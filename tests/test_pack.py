@@ -1,0 +1,110 @@
+"""Sequence packing & chunking (operators/pack.py).
+
+Invariants, not samples: packing is cross-checked against a naive
+sequential Python packer on the same rows; chunking must reconstruct the
+original arrays exactly and respect window/stride geometry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.operators.pack import (
+    chunk_tokens,
+    pack_contiguous,
+    pack_stats,
+)
+
+
+def _seqs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok long"
+    )
+
+
+def _naive_pack(rows, capacity):
+    """Sequential reference: stream offsets per source in doc_id order."""
+    out = {}
+    by_src = {}
+    for doc_id, source, n_tok in sorted(rows):
+        off = by_src.get(source, 0)
+        out[doc_id] = off // capacity
+        by_src[source] = off + n_tok
+    return out
+
+
+def test_pack_matches_sequential_reference(spark):
+    rows = [
+        (i, f"s{i % 3}", (i * 37) % 900 + 1)  # sizes 1..900, three sources
+        for i in range(200)
+    ]
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_contiguous(_seqs(spark, rows), capacity=2048).collect()
+    }
+    assert got == _naive_pack(rows, 2048)
+
+
+def test_pack_is_parallelism_invariant(spark):
+    rows = [(i, f"s{i % 2}", 100 + i) for i in range(60)]
+    df = _seqs(spark, rows)
+    a = pack_contiguous(df.repartition(1), 512).collect()
+    b = pack_contiguous(df.repartition(7), 512).collect()
+    assert {(r.doc_id, r.pack_id) for r in a} == {(r.doc_id, r.pack_id) for r in b}
+
+
+def test_pack_stats_conserve_totals(spark):
+    rows = [(i, "s0", 300) for i in range(20)]
+    stats = pack_stats(_seqs(spark, rows), capacity=1000).collect()
+    assert sum(r.n_docs for r in stats) == 20
+    assert sum(r.tok_total for r in stats) == 20 * 300
+    # 300-token docs, 1000 capacity: packs hold docs starting in each
+    # 1000-token window of the 6000-token stream
+    assert {r.pack_id for r in stats} == set(range(6))
+
+
+def test_pack_rejects_bad_capacity(spark):
+    with pytest.raises(ValueError):
+        pack_contiguous(_seqs(spark, [(1, "s", 1)]), capacity=0)
+
+
+def _tok_df(spark, arrays):
+    return spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "doc_id long, tokens array<int>"
+    )
+
+
+def test_chunk_reconstructs_with_disjoint_stride(spark):
+    arrays = [list(range(n)) for n in (1, 7, 8, 9, 31)]
+    out = chunk_tokens(_tok_df(spark, arrays), window=8, stride=8).collect()
+    rebuilt: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        rebuilt.setdefault(r.doc_id, []).extend(r.chunk)
+        assert r.chunk_len == len(r.chunk) <= 8
+    assert rebuilt == {i: a for i, a in enumerate(arrays)}
+
+
+def test_chunk_overlap_geometry(spark):
+    # window 8, stride 4 over 10 tokens → offsets 0,4,8: lens 8, 6, 2
+    out = sorted(
+        chunk_tokens(_tok_df(spark, [list(range(10))]), window=8, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_len for r in out] == [8, 6, 2]
+    assert out[0].chunk == list(range(8))
+    assert out[1].chunk == list(range(4, 10))
+    assert out[2].chunk == [8, 9]
+    # consecutive chunks overlap by window - stride tokens
+    assert out[0].chunk[4:] == out[1].chunk[:4]
+
+
+def test_chunk_empty_array_emits_nothing(spark):
+    out = chunk_tokens(_tok_df(spark, [[], [1, 2]]), window=4, stride=4).collect()
+    assert {r.doc_id for r in out} == {1}
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    df = _tok_df(spark, [[1, 2, 3]])
+    plan = chunk_tokens(df, window=2, stride=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: generate/slice only
