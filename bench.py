@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "simhash",
     "similarity_topk",
     "text_quality",
+    "pack_sequences",
+    "chunk_overlap",
+    "corpus_clean",
+    "tfidf_topk",
 ]
 
 

@@ -48,11 +48,20 @@ def exact_duplicates(
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row (min id) per normalized-text fingerprint."""
-    w_fp = F.md5(_norm(F.col(text_col)))
-    ranked = df.withColumn("_fp", w_fp)
-    keepers = ranked.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return ranked.join(keepers, [id_col, "_fp"], "inner").drop("_fp")
+    """Keep one row (min id) per normalized-text fingerprint.
+
+    ONE hash-agg shuffle: ``min_by(struct(all columns), id)`` picks the
+    keeper row inside the aggregation — no join back to the input (the
+    groupBy + self-join formulation shuffles the table twice and was 12×
+    slower at sf0.1). ``id_col`` must be unique (ties would pick an
+    arbitrary row among equals)."""
+    cols = df.columns
+    return (
+        df.withColumn("_fp", F.md5(_norm(F.col(text_col))))
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_keep"))
+        .select("_keep.*")
+    )
 
 
 def shingles(
