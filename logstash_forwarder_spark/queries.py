@@ -984,6 +984,72 @@ GROUP BY f.source
 """
 
 
+def _materialize_log_files(sf_dir: str) -> str:
+    """One ``<source>.log`` per source (lines = texts in doc_id order,
+    '\\n'-terminated), derived deterministically from documents.parquet so
+    the harvest below is oracle-checkable. Fixture materialization — built
+    once per sf_dir into a content-addressed tmp dir (atomic rename), NOT
+    part of the measured operator."""
+    import hashlib
+    import os
+
+    out = os.path.join(
+        "/tmp", f"lfs_harvest_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # half-built dir from a crash
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
+    ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+    stage = out + ".stage"
+    os.makedirs(stage, exist_ok=True)
+    for src in pc.unique(tbl["source"]).to_pylist():
+        texts = tbl.filter(pc.equal(tbl["source"], src))["text"].to_pylist()
+        with open(os.path.join(stage, f"{src}.log"), "wb") as fh:
+            fh.write(("".join(t + "\n" for t in texts)).encode())
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:  # concurrent builder won the rename — use theirs
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def q_harvest_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3 in their native form: glob-discover raw .log files, split
+    lines inside a mapInArrow kernel, emit byte-exact offsets (the
+    registrar's resume currency). Oracle = the same lines/offsets computed
+    relationally from the documents table (sources/textlog.py)."""
+    from .sources.textlog import harvest_text_files
+
+    files_dir = _materialize_log_files(sf_dir)
+    h = harvest_text_files(spark, f"{files_dir}/*.log")
+    return h.select(
+        F.regexp_extract("file", r"([^/]+)\.log$", 1).alias("source"),
+        "line_no",
+        "byte_offset",
+        F.col("line"),
+    )
+
+
+SQL_HARVEST_LINES = """
+SELECT source,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS line_no,
+       CAST(sum(octet_length(encode(text)) + 1) OVER w2
+            - (octet_length(encode(text)) + 1) AS BIGINT) AS byte_offset,
+       text AS line
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY doc_id),
+       w2 AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1029,6 +1095,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
 }
 
 

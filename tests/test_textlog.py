@@ -1,0 +1,93 @@
+"""Raw text-file harvesting: line splitting, byte-exact offsets, CRLF and
+unicode payloads, trailing-partial-line handling, and byte-offset resume —
+the reference's harvester/registrar behaviors (harvester.go:37-79,
+registrar.go:8-36) as batch invariants."""
+
+from __future__ import annotations
+
+import os
+
+from logstash_forwarder_spark.sources.textlog import (
+    harvest_text_files,
+    resume_harvest,
+)
+
+
+def _write(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(data)
+
+
+def test_lines_offsets_crlf_unicode(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    # LF file with an empty line and a unicode payload
+    _write(f"{d}/a.log", "first\n\nnaïve — ünïcode\n".encode())
+    # CRLF file: '\r' must not reach the payload, offsets count it
+    _write(f"{d}/b.log", b"one\r\ntwo\r\n")
+
+    got = {
+        (os.path.basename(r.file), r.line_no): r
+        for r in harvest_text_files(spark, f"{d}/*.log").collect()
+    }
+    a0, a1, a2 = (got[("a.log", i)] for i in range(3))
+    assert (a0.line, a0.byte_offset, a0.next_offset) == ("first", 0, 6)
+    assert (a1.line, a1.byte_offset, a1.next_offset) == ("", 6, 7)
+    assert a2.line == "naïve — ünïcode"
+    assert a2.byte_offset == 7
+    # next_offset lands exactly at EOF: offsets are bytes, not chars
+    assert a2.next_offset == len("first\n\nnaïve — ünïcode\n".encode())
+    assert all(r.is_complete for r in got.values())
+
+    b0, b1 = got[("b.log", 0)], got[("b.log", 1)]
+    assert (b0.line, b1.line) == ("one", "two")  # no '\r' in payloads
+    assert (b0.next_offset, b1.next_offset) == (5, 10)  # but counted in offsets
+
+
+def test_trailing_partial_line_flagged(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    _write(f"{d}/p.log", b"done\npart")
+    rows = sorted(
+        harvest_text_files(spark, f"{d}/*.log").collect(), key=lambda r: r.line_no
+    )
+    assert [(r.line, r.is_complete) for r in rows] == [("done", True), ("part", False)]
+    # an incomplete line's next_offset does NOT advance past its bytes —
+    # resuming from it re-reads the partial tail once the file grows
+    assert rows[1].next_offset == len(b"done\npart")
+
+
+def test_resume_skips_shipped_bytes(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    _write(f"{d}/r.log", b"l0\nl1\nl2\nl3\n")
+    _write(f"{d}/new.log", b"n0\n")
+    harvested = harvest_text_files(spark, f"{d}/*.log")
+
+    # registrar says r.log was shipped through line 1 (next_offset 6)
+    offsets = spark.createDataFrame(
+        [(f"file:{d}/r.log", 6)], "file string, resume_offset long"
+    )
+    got = resume_harvest(harvested, offsets).collect()
+    by_file = {}
+    for r in got:
+        by_file.setdefault(os.path.basename(r.file), []).append(r.line)
+    # only the unshipped tail of r.log; unseen files pass through whole
+    assert sorted(by_file["r.log"]) == ["l2", "l3"]
+    assert by_file["new.log"] == ["n0"]
+
+
+def test_roundtrip_against_python_reference(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    payload = b"alpha\r\n\nmid\xc3\xa9\nlast"
+    _write(f"{d}/x.log", payload)
+    rows = sorted(
+        harvest_text_files(spark, f"{d}/x.log").collect(), key=lambda r: r.line_no
+    )
+    # python reference: split on '\n', strip one trailing '\r'
+    expect = [s[:-1] if s.endswith(b"\r") else s for s in payload.split(b"\n")]
+    complete = [True] * (len(expect) - 1) + [False]  # no trailing newline
+    assert [r.line for r in rows] == [e.decode("utf-8") for e in expect]
+    assert [r.is_complete for r in rows] == complete
+    # offsets partition the file exactly
+    assert rows[0].byte_offset == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.next_offset == cur.byte_offset
