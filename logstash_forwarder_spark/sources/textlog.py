@@ -110,6 +110,30 @@ def harvest_text_files(spark, path_glob: str) -> DataFrame:
     return raw.mapInArrow(_harvest_kernel, HARVEST_SCHEMA)
 
 
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def harvest_text_stream(
+    spark, path_glob: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming form of the harvester — the prospector's discovery loop
+    (prospector.go:24-78: rescan the glob, start a harvester per new file)
+    as a Structured Streaming file source: each newly-appearing file becomes
+    one micro-batch row, split by the same kernel. The source's checkpoint
+    remembers processed files, so a restart never re-harvests — the
+    registrar's never-twice contract at file granularity. (Files are
+    immutable once written, per the engine's data model — SURVEY §2.1;
+    growing-file tailing has no Spark-source analog and is out of scope.)
+    """
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path_glob).select("path", "content")
+    return raw.mapInArrow(_harvest_kernel, HARVEST_SCHEMA)
+
+
 def resume_harvest(harvested: DataFrame, offsets: DataFrame) -> DataFrame:
     """Drop lines already shipped per registrar state.
 

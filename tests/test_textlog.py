@@ -75,6 +75,39 @@ def test_resume_skips_shipped_bytes(spark, tmp_path):
     assert by_file["new.log"] == ["n0"]
 
 
+def test_streaming_harvest_discovers_new_files_once(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    ckpt = str(tmp_path / "ckpt")
+    _write(f"{d}/one.log", b"a\nb\n")
+    _write(f"{d}/two.log", b"c\n")
+
+    from logstash_forwarder_spark.sources.textlog import harvest_text_stream
+
+    out = str(tmp_path / "harvested")
+
+    def drain():
+        # parquet sink: the fault-tolerant kind that resumes from the
+        # checkpoint (memory sink can't recover from one)
+        q = (
+            harvest_text_stream(spark, f"{d}/*.log", max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.line for r in spark.read.parquet(out).collect())
+
+    assert drain() == ["a", "b", "c"]
+    # a new file appears; restart from the same checkpoint → ONLY the new
+    # file is harvested, exactly once in the cumulative output
+    # (prospector discovery + registrar never-twice)
+    _write(f"{d}/three.log", b"d\ne\n")
+    assert drain() == ["a", "b", "c", "d", "e"]
+
+
 def test_roundtrip_against_python_reference(spark, tmp_path):
     d = str(tmp_path / "logs")
     payload = b"alpha\r\n\nmid\xc3\xa9\nlast"
