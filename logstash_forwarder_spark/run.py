@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logstash_forwarder_spark.run")
     p.add_argument("--input", help="parquet dir of (doc_id, tokens, n_tok, source)")
     p.add_argument("--gen", type=int, default=0, help="synthesize N rows instead")
+    p.add_argument(
+        "--text-glob",
+        help="harvest raw .log files matching this glob instead "
+        "(sources/textlog.py: line split, whitespace tokenizer)",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None, help="override master (local[N])")
@@ -45,8 +50,12 @@ def main(argv: list[str] | None = None) -> int:
         seqs = gen_sequences(spark, args.gen)
     elif args.input:
         seqs = spark.read.schema(SEQUENCES_SCHEMA).parquet(args.input)
+    elif args.text_glob:
+        from .sources.textlog import harvest_text_files, lines_to_sequences
+
+        seqs = lines_to_sequences(harvest_text_files(spark, args.text_glob))
     else:
-        p.error("one of --input / --gen is required")
+        p.error("one of --input / --gen / --text-glob is required")
 
     spec_kwargs = {"out_dir": args.out}
     if args.run_id:

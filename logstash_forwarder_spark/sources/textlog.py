@@ -110,6 +110,30 @@ def harvest_text_files(spark, path_glob: str) -> DataFrame:
     return raw.mapInArrow(_harvest_kernel, HARVEST_SCHEMA)
 
 
+def lines_to_sequences(lines: DataFrame, *, vocab: int = 2_147_483_647) -> DataFrame:
+    """Bridge harvested lines into the pipeline's sequences shape
+    (doc_id, tokens:array<int>, n_tok, source): whitespace tokens hashed to
+    stable int32 ids (xxhash64 mod vocab), doc_id = file:line_no (the
+    reference's (path, offset) event identity, harvester.go:68-78), source =
+    file stem. Incomplete trailing lines are excluded — the reference never
+    ships a line before its newline arrives.
+
+    Log lines are short, so the interpreted-HOF cost of ``transform`` is
+    per-ingest negligible here; bulk token work stays in the Arrow kernels
+    (operators/parse.py) downstream.
+    """
+    words = F.filter(F.split("line", r"\s+"), lambda w: w != F.lit(""))
+    tokens = F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+    )
+    return lines.filter("is_complete").select(
+        F.concat_ws(":", "file", F.col("line_no").cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.regexp_extract("file", r"([^/]+?)(?:\.[^./]*)?$", 1).alias("source"),
+    )
+
+
 _BINARY_FILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
 )

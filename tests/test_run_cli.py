@@ -28,3 +28,28 @@ def test_run_cli_gen(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_staged"] == 500
+
+
+def test_run_cli_text_glob(spark, tmp_path, capsys):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "app.log").write_bytes(b"alpha beta\ngamma\n")
+    (logs / "db.log").write_bytes(b"delta epsilon zeta\npartial")  # no newline
+
+    rc = main(
+        ["--text-glob", f"{logs}/*.log", "--out", str(tmp_path / "out3"), "--run-id", "t1"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 3 complete lines; the unterminated "partial" is held back (reference
+    # semantics: a line ships only once its newline arrives)
+    assert summary["rows_staged"] == 3
+    assert len(summary["sinks_committed"]) == 4
+
+    # resume: identical rerun stages nothing
+    rc = main(
+        ["--text-glob", f"{logs}/*.log", "--out", str(tmp_path / "out3"), "--run-id", "t1"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 0

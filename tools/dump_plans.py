@@ -148,6 +148,20 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.queries import _materialize_log_files
+    from logstash_forwarder_spark.sources.textlog import harvest_text_files
+
+    log_dir = _materialize_log_files(SF_DIR)
+    sections.append(
+        (
+            "Raw text-log harvest (S1+S2 native form)",
+            "One MapInArrow directly over the binaryFile scan (path+content "
+            "pruned), NO Exchange: one file = one task, line splitting is "
+            "row-local; parallelism = number of files.",
+            plan_of(harvest_text_files(spark, f"{log_dir}/*.log")),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append(
         "Generated by tools/dump_plans.py (re-run after any operator "
