@@ -984,6 +984,34 @@ GROUP BY f.source
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation — the step after pair finding in every dedup
+    pipeline: connected components (operators/graph.py min-label
+    propagation) over the n-gram-Jaccard pair graph; cluster id = min
+    doc_id. Oracle = a DuckDB recursive CTE reaching the same fixpoint."""
+    from .operators.graph import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+FROM reach GROUP BY node
+"""
+
+
 def _materialize_log_files(sf_dir: str) -> str:
     """One ``<source>.log`` per source (lines = texts in doc_id order,
     '\\n'-terminated), derived deterministically from documents.parquet so
@@ -1096,6 +1124,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
 
 
