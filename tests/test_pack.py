@@ -8,7 +8,8 @@ original arrays exactly and respect window/stride geometry.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from logstash_forwarder_spark.operators.pack import (
     chunk_tokens,
@@ -102,6 +103,38 @@ def test_chunk_overlap_geometry(spark):
 def test_chunk_empty_array_emits_nothing(spark):
     out = chunk_tokens(_tok_df(spark, [[], [1, 2]]), window=4, stride=4).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+    capacity=st.integers(min_value=1, max_value=600),
+)
+def test_pack_property_matches_reference(spark, sizes, capacity):
+    rows = [(i, f"s{i % 2}", n) for i, n in enumerate(sizes)]
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_contiguous(_seqs(spark, rows), capacity).collect()
+    }
+    assert got == _naive_pack(rows, capacity)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+    window=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+)
+def test_chunk_property_matches_reference(spark, lens, window, stride):
+    arrays = [list(range(n)) for n in lens]
+    got = {}
+    for r in chunk_tokens(_tok_df(spark, arrays), window=window, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = list(r.chunk)
+    expect = {}
+    for i, a in enumerate(arrays):
+        for ci, off in enumerate(range(0, len(a), stride)):
+            expect.setdefault(i, {})[ci] = a[off : off + window]
+    assert got == expect
 
 
 def test_chunk_plan_has_no_shuffle(spark):
