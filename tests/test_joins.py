@@ -62,3 +62,42 @@ def test_range_bucket_join(spark):
         ).collect()
     }
     assert out == {1: "lo", 2: "mid", 3: "hi"}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located big-big join: both sides bucketed by the key into the
+    same bucket count -> SortMergeJoin with NO Exchange in the executed
+    plan (the shuffle was paid once, at write time; a within-partition
+    Sort remains — Spark >=3.0 drops bucket sort-order propagation)."""
+    from logstash_forwarder_spark.operators.joins import write_bucketed
+
+    n = 20_000
+    facts = spark.range(n).selectExpr("id", "id % 97 AS v")
+    dims = spark.range(n).selectExpr("id", "id % 31 AS w")
+    write_bucketed(
+        facts, "b_facts", bucket_cols=["id"], n_buckets=8,
+        sort_cols=["id"], path=str(tmp_path / "b_facts"),
+    )
+    write_bucketed(
+        dims, "b_dims", bucket_cols=["id"], n_buckets=8,
+        sort_cols=["id"], path=str(tmp_path / "b_dims"),
+    )
+    # pin the join to SMJ so the assertion tests bucketing, not broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_facts").join(spark.table("b_dims"), "id")
+        assert joined.count() == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # equivalent non-bucketed join DOES shuffle — the baseline to beat
+        plain = facts.join(dims, "id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
