@@ -673,10 +673,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — engine-specific hashing, rows-only check."""
-    from .operators.dedup import simhash_pairs
+    """SimHash near-dup pairs — engine-specific hashing, rows-only check.
+    Chunks are materialized once (localCheckpoint) so the blocking
+    self-join's two sides reuse one kernel pass over the corpus."""
+    from .operators.dedup import simhash_chunks, simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=7, n_chunks=8)
+    d = _docs(spark, sf_dir)
+    chunks = simhash_chunks(d, n_chunks=8).localCheckpoint(eager=True)
+    return simhash_pairs(d, max_hamming=7, n_chunks=8, chunks=chunks)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
