@@ -1,0 +1,184 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three ops the reference pipeline's users need once the harvested corpus
+feeds model training (reference scope ends at shipping events —
+/root/reference/publisher1.go:43 — these extend SURVEY §2's
+training-data tier):
+
+* benchmark decontamination — remove training docs that share a word
+  n-gram with an eval/benchmark set. The benchmark side is tiny (eval
+  suites are MBs even when the corpus is 100 TB), so its distinct
+  shingle set is BROADCAST and the corpus is scanned map-side: the only
+  shuffle is the per-doc hit count over the (small) set of actual hits.
+* repetition stats — Gopher-style quality rule: per-doc duplicate
+  n-gram fraction. Entirely row-local, computed inside the scan by the
+  same Arrow shingle kernel dedup uses (operators/dedup.py), zero
+  shuffle, zero per-row Python.
+* vocab coverage — corpus-level word frequencies with cumulative-share
+  ranks (the vocab-cutoff / frequency-table op). Distributed hash-agg
+  for the counts; the window runs over only the top-k rows.
+
+Shingle identity here is the kernel's 64-bit hash (collision odds are
+birthday-bounded ≪ 1e-12 at these cardinalities; see
+ngram_jaccard_pairs' docstring for the scale argument).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup import DEFAULT_SHINGLE, _distinct_shingle_hashes, _norm, shingle_hash_relation
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, n_hits) per corpus doc sharing ≥1 word n-gram with ``benchmark``.
+
+    ``n_hits`` counts the doc's DISTINCT shingles that occur anywhere in
+    the benchmark set. The benchmark shingle set is broadcast — the
+    corpus-side scan never shuffles; only the hits (a small relation)
+    are shuffled for the per-doc count.
+    """
+    corpus_sh = shingle_hash_relation(corpus, id_col=id_col, text_col=text_col, n=n)
+    bench_sh = (
+        shingle_hash_relation(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Corpus rows that share NO word n-gram with the benchmark set.
+
+    Anti-join against the contamination report; AQE broadcasts the
+    report when it is small (the common case — contamination is rare).
+    """
+    hits = contamination_report(
+        corpus, benchmark, id_col=id_col, text_col=text_col, n=n
+    ).select(id_col)
+    return corpus.join(hits, id_col, "left_anti")
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    max_dup_pct: int = 30,
+    seed: int = 42,
+) -> DataFrame:
+    """Gopher-style repetition rule: per-doc duplicate word-n-gram counts.
+
+    Output: (id, n_words, total_grams, distinct_grams, keep) — all
+    BIGINT; ``keep`` = 1 iff the duplicate-gram fraction is ≤
+    ``max_dup_pct``/100, integer-exact
+    (``(total-distinct)*100 <= max_dup_pct*total``; empty docs keep).
+
+    Row-local: one mapInArrow pass inside the scan (the dedup shingle
+    kernel), no shuffle, no per-row Python. The duplicate-fraction rule
+    is the word-level analog of the reference's per-line filters
+    (/root/reference/harvester.go:76-89 builds per-line events; this
+    grades them).
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(batches):
+        for b in batches:
+            seg_rows, _ss, _dh, dcounts, wlens = _distinct_shingle_hashes(
+                b, text_col, n, seed
+            )
+            nrows = b.num_rows
+            distinct = np.zeros(nrows, np.int64)
+            if len(seg_rows):
+                distinct[seg_rows] = dcounts
+            total = np.maximum(wlens - (n - 1), 0)
+            dup = total - distinct
+            keep = (dup * 100 <= max_dup_pct * total).astype(np.int64)
+            ids = b.column(b.schema.get_field_index(id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(wlens, pa.int64()),
+                    pa.array(total, pa.int64()),
+                    pa.array(distinct, pa.int64()),
+                    pa.array(keep, pa.int64()),
+                ],
+                names=[id_col, "n_words", "total_grams", "distinct_grams", "keep"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        op,
+        schema=(
+            f"{id_col} {id_type}, n_words bigint, total_grams bigint, "
+            "distinct_grams bigint, keep bigint"
+        ),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k corpus words with rank, count, cumulative count and
+    cumulative parts-per-million of ALL word occurrences.
+
+    (rank, word, cnt, cum_cnt, cum_ppm) — the frequency table behind
+    vocab-cutoff decisions. Counts are a distributed hash-agg; the
+    top-k is a TakeOrdered (no global sort materialization); the rank /
+    cumulative window then runs over only k rows. ``cum_ppm`` is pure
+    integer math (``cum*1000000 DIV total``) so it hashes identically
+    across engines. Ties break on the word itself, deterministically.
+    """
+    words = df.select(
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cnt = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("_total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("word")).limit(top_k)
+    w_rank = W.orderBy(F.desc("cnt"), F.asc("word"))
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.sum("cnt").over(w_cum).cast("long").alias("cum_cnt"),
+            (F.sum("cnt").over(w_cum) * F.lit(1000000))
+            .cast("long")
+            .alias("_cum_m"),
+            F.col("_total").cast("long").alias("_t"),
+        )
+        .select(
+            "rank",
+            "word",
+            "cnt",
+            "cum_cnt",
+            F.expr("_cum_m DIV _t").cast("long").alias("cum_ppm"),
+        )
+    )

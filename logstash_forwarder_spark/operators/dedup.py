@@ -107,7 +107,7 @@ def shingle_hash_relation(
 
     def op(batches):
         for b in batches:
-            seg_rows, _seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+            seg_rows, _seg_starts, dhash, dcounts, _wl = _distinct_shingle_hashes(
                 b, text_col, n, seed
             )
             idx = b.schema.get_field_index(id_col)
@@ -208,12 +208,13 @@ def _mix3(h1, h2, h3, seed: int):
 
 def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     """Per Arrow batch: normalized word n-gram shingle hashes, distinct per
-    row. Returns (seg_rows, seg_starts, dhash, dcounts):
+    row. Returns (seg_rows, seg_starts, dhash, dcounts, wlens):
 
     * seg_rows   — batch row indices that have ≥1 shingle (ascending)
     * seg_starts — start offset of each row's segment inside ``dhash``
     * dhash      — uint64 distinct shingle hashes, grouped by row
     * dcounts    — distinct-shingle count per present row
+    * wlens      — word count per row (ALL rows, not just present ones)
 
     Word strings are hashed once (pandas' vectorized 64-bit string hash);
     shingle hashes combine 3 consecutive word hashes arithmetically, so no
@@ -242,7 +243,7 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     slens = np.maximum(wlens - (n - 1), 0)
     total_sh = int(slens.sum())
     empty = (np.empty(0, np.int64), np.empty(0, np.int64),
-             np.empty(0, np.uint64), np.empty(0, np.int64))
+             np.empty(0, np.uint64), np.empty(0, np.int64), wlens)
     if not total_sh:
         return empty
     row_of_sh = np.repeat(np.arange(len(slens), dtype=np.int64), slens)
@@ -263,7 +264,7 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     ).astype(np.int64)
     seg_rows = drow[seg_starts]
     dcounts = np.diff(np.append(seg_starts, len(drow)))
-    return seg_rows, seg_starts, dhash, dcounts
+    return seg_rows, seg_starts, dhash, dcounts, wlens
 
 
 def minhash_signatures(
@@ -291,7 +292,7 @@ def minhash_signatures(
 
     def op(batches):
         for b in batches:
-            seg_rows, seg_starts, dhash, _ = _distinct_shingle_hashes(
+            seg_rows, seg_starts, dhash, _, _wl = _distinct_shingle_hashes(
                 b, text_col, n, seed
             )
             m = len(seg_rows)
@@ -442,7 +443,7 @@ def simhash_chunks(
 
     def op(batches):
         for b in batches:
-            seg_rows, seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+            seg_rows, seg_starts, dhash, dcounts, _wl = _distinct_shingle_hashes(
                 b, text_col, n, seed
             )
             m = len(seg_rows)

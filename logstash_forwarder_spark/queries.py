@@ -1082,6 +1082,92 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id),
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curate.py): per-corpus-doc count
+    of distinct word 3-grams shared with a benchmark split (doc_id % 97 = 0
+    — the tiny eval-set analog). Benchmark shingle set broadcast; corpus
+    scanned map-side; only the hits shuffle."""
+    from .operators.curate import contamination_report
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench)
+
+
+SQL_DECONTAMINATE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule (operators/curate.py): per-doc
+    duplicate word-3-gram counts + integer-exact keep flag, computed
+    row-locally inside the scan by the dedup Arrow shingle kernel."""
+    from .operators.curate import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), max_dup_pct=30)
+
+
+SQL_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+st AS (
+  SELECT doc_id, count(*) AS total_grams, count(DISTINCT gram) AS distinct_grams
+  FROM g GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(coalesce(st.total_grams, 0) AS BIGINT) AS total_grams,
+       CAST(coalesce(st.distinct_grams, 0) AS BIGINT) AS distinct_grams,
+       CAST(CASE WHEN (coalesce(st.total_grams, 0) - coalesce(st.distinct_grams, 0)) * 100
+                      <= 30 * coalesce(st.total_grams, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM words w LEFT JOIN st USING (doc_id)
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab frequency table (operators/curate.py): top-100 corpus words with
+    rank, count, cumulative count and integer cumulative ppm — the
+    vocab-cutoff op. Distributed hash-agg; window over only the top-k."""
+    from .operators.curate import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_k=100)
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH words AS (
+  SELECT regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+tok AS (SELECT unnest(w) AS word FROM words),
+cnt AS (SELECT word, count(*) AS c FROM tok WHERE word <> '' GROUP BY word),
+tot AS (SELECT sum(c) AS t FROM cnt),
+top AS (
+  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rnk
+  FROM cnt QUALIFY rnk <= 100)
+SELECT CAST(rnk AS BIGINT) AS rank, word, CAST(c AS BIGINT) AS cnt,
+       CAST(sum(c) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
+       CAST((sum(c) OVER (ORDER BY rnk) * 1000000) // t AS BIGINT) AS cum_ppm
+FROM top, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1129,6 +1215,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition": (q_repetition, SQL_REPETITION),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
 }
 
 

@@ -1,0 +1,95 @@
+"""Curation operator tests: planted contamination must be caught, clean
+docs must survive, repetition stats must agree with a naive per-row Python
+reference, vocab coverage must be exact on a hand-countable corpus."""
+
+from __future__ import annotations
+
+from logstash_forwarder_spark.operators.curate import (
+    contamination_report,
+    decontaminate,
+    repetition_stats,
+    vocab_coverage,
+)
+
+BENCH_SENTENCE = "the capital of france is paris as everyone knows"
+CLEAN = "spark shuffles partition data across executors by key"
+
+
+def _corpus(spark):
+    rows = [
+        # doc 1 embeds a full benchmark 3-gram ("capital of france" …)
+        (1, f"my essay says {BENCH_SENTENCE} and more"),
+        (2, CLEAN),
+        (3, "another unrelated document about parquet row groups"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [(100, BENCH_SENTENCE)], "doc_id long, text string"
+    )
+
+
+def test_contamination_flags_planted_overlap(spark):
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_report(_corpus(spark), _benchmark(spark)).collect()
+    }
+    assert set(got) == {1}
+    # doc 1 contains the benchmark sentence verbatim: every one of its
+    # 7 3-grams appears in doc 1's shingle set
+    assert got[1] == 7
+
+
+def test_decontaminate_removes_only_hits(spark):
+    kept = sorted(
+        r.doc_id for r in decontaminate(_corpus(spark), _benchmark(spark)).collect()
+    )
+    assert kept == [2, 3]
+
+
+def _naive_rep(text: str, n: int = 3):
+    words = " ".join(text.lower().split()).split(" ")
+    grams = [" ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 0))]
+    return len(words), len(grams), len(set(grams))
+
+
+def test_repetition_stats_match_naive(spark):
+    rows = [
+        (1, "a b c a b c a b c a b c"),  # heavy repetition
+        (2, "all distinct words here make every gram unique"),
+        (3, "x y"),  # too short for a 3-gram
+        (4, ""),  # empty
+        (5, "  spaced   out\ttext  with   gaps "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, max_dup_pct=30).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        n_words, total, distinct = _naive_rep(text)
+        r = got[doc_id]
+        assert (r.n_words, r.total_grams, r.distinct_grams) == (
+            n_words,
+            total,
+            distinct,
+        ), f"doc {doc_id}"
+        dup = total - distinct
+        assert r.keep == (1 if dup * 100 <= 30 * total else 0)
+    # the planted repeater fails the rule; the distinct doc passes
+    assert got[1].keep == 0 and got[2].keep == 1
+
+
+def test_vocab_coverage_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], "doc_id long, text string"
+    )
+    got = vocab_coverage(df, top_k=3).collect()
+    # counts: a=3, b=3, c=1, d=1 → rank on (cnt desc, word): a, b, c
+    assert [(r.rank, r.word, r.cnt, r.cum_cnt) for r in got] == [
+        (1, "a", 3, 3),
+        (2, "b", 3, 6),
+        (3, "c", 1, 7),
+    ]
+    # 8 total occurrences → integer ppm floors
+    assert [r.cum_ppm for r in got] == [375000, 750000, 875000]

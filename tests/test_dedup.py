@@ -96,7 +96,7 @@ def test_shingle_kernel_vs_python_reference():
         [pa.array(range(len(texts)), pa.int64()), pa.array(texts, pa.string())],
         names=["doc_id", "text"],
     )
-    seg_rows, seg_starts, dhash, dcounts = _distinct_shingle_hashes(
+    seg_rows, seg_starts, dhash, dcounts, _wl = _distinct_shingle_hashes(
         batch, "text", 3, 42
     )
 

@@ -162,6 +162,34 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.operators.curate import (
+        contamination_report,
+        repetition_stats,
+    )
+
+    sections.append(
+        (
+            "Repetition quality rule (curate.repetition_stats)",
+            "ONE MapInArrow directly over the parquet scan and NOTHING else "
+            "— the duplicate-gram fraction is row-local, so the plan must "
+            "show no Exchange, no aggregate, no second Python boundary.",
+            plan_of(repetition_stats(docs)),
+        )
+    )
+
+    bench_split = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus_split = docs.filter(F.col("doc_id") % 97 != 0)
+    sections.append(
+        (
+            "Benchmark decontamination (curate.contamination_report)",
+            "The benchmark shingle set is on the BUILD side of a "
+            "BroadcastHashJoin (eval sets stay broadcast-small at any corpus "
+            "scale), so the corpus-side kernel scan never shuffles; the only "
+            "Exchange is the per-doc hit count over the (small) join output.",
+            plan_of(contamination_report(corpus_split, bench_split)),
+        )
+    )
+
     import tempfile
 
     from logstash_forwarder_spark.operators.joins import write_bucketed
