@@ -4,6 +4,9 @@ reference, vocab coverage must be exact on a hand-countable corpus."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from logstash_forwarder_spark.operators.curate import (
     contamination_report,
     decontaminate,
@@ -78,6 +81,55 @@ def test_repetition_stats_match_naive(spark):
         assert r.keep == (1 if dup * 100 <= 30 * total else 0)
     # the planted repeater fails the rule; the distinct doc passes
     assert got[1].keep == 0 and got[2].keep == 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=12),
+            min_size=0,
+            max_size=6,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kernel_gram_stats_match_naive(texts):
+    """Pure-kernel property check (no Spark): per-row word counts and
+    distinct-gram counts from _distinct_shingle_hashes agree with a naive
+    Python reference on arbitrary whitespace-mangled text."""
+    import pyarrow as pa
+
+    from logstash_forwarder_spark.operators.dedup import _distinct_shingle_hashes
+
+    batch = pa.RecordBatch.from_arrays([pa.array(texts, pa.string())], ["text"])
+    seg_rows, _ss, _dh, dcounts, wlens = _distinct_shingle_hashes(batch, "text", 3, 7)
+    distinct = {int(r): int(c) for r, c in zip(seg_rows, dcounts)}
+    for i, text in enumerate(texts):
+        n_words, _total, n_distinct = _naive_rep(text)
+        assert int(wlens[i]) == n_words, f"row {i}: {text!r}"
+        assert distinct.get(i, 0) == n_distinct, f"row {i}: {text!r}"
+
+
+def test_repetition_plan_is_single_kernel_pass(spark):
+    """Row-local op: the physical plan must be scan -> ONE MapInArrow,
+    with no Exchange and no aggregate anywhere."""
+    df = repetition_stats(_corpus(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1
+    assert "HashAggregate" not in plan
+
+
+def test_contamination_joins_broadcast_side(spark):
+    """The benchmark shingle set must sit on the build side of a
+    BroadcastHashJoin — the corpus side must reach the join without an
+    Exchange (only the post-join per-doc count shuffles)."""
+    df = contamination_report(_corpus(spark), _benchmark(spark))
+    df.collect()  # materialize so AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_vocab_coverage_exact(spark):
