@@ -538,3 +538,53 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def edit_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    len_bucket: int = 16,
+    max_dist: int = 70,
+) -> DataFrame:
+    """Fuzzy-dedup verify stage: exact Levenshtein distance over BLOCKED
+    candidate pairs — (block_col, floor(length/len_bucket)) equi-join, id
+    ascending to emit each unordered pair once.
+
+    This is the verify half of the classic block-then-verify fuzzy dedup:
+    any blocking scheme (here a cheap length bucket; LSH buckets in
+    minhash_lsh_pairs) bounds the candidate fan-out, then an exact string
+    metric confirms. Two scale properties make it safe at 10^12 rows:
+
+    * the equi-join shuffles on a bounded composite key — candidate count
+      is sum over blocks of C(block_size, 2), never corpus^2;
+    * Spark's 3-arg ``levenshtein(l, r, threshold)`` caps the DP band at
+      ``threshold`` (O(len * threshold) not O(len^2)), returning -1 for
+      over-threshold pairs, so a far pair costs almost nothing to reject.
+
+    Pairs whose lengths differ across a bucket boundary are not candidates
+    (documented blocking loss — identical in the oracle SQL, so the
+    comparison is still exact over the same candidate set).
+    """
+    norm = _norm(F.col(text_col))
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_t"),
+        F.col(block_col).alias("_blk"),
+        F.floor(F.length(norm) / len_bucket).alias("_lb"),
+    )
+    left = b.select(
+        F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"), "_blk", "_lb"
+    )
+    right = b.select(
+        F.col("_id").alias("doc_b"), F.col("_t").alias("_tb"), "_blk", "_lb"
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    return (
+        left.join(right, on=["_blk", "_lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", dist.cast("long"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -105,3 +105,28 @@ def chunk_tokens(
         )
     )
     return out.withColumn("chunk_len", F.size("chunk").cast("long"))
+
+
+def shift_labels(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Next-token training-pair construction: for each sequence emit
+    ``input_ids = tokens[:-1]`` and ``labels = tokens[1:]`` (the standard
+    causal-LM one-position shift), plus the pair length.
+
+    Row-local ``slice`` built-ins — whole-stage codegen, zero shuffle,
+    output partitioning identical to the scan. Sequences with fewer than
+    two tokens yield empty input/label arrays (slice length 0), never an
+    error, so the operator is total over dirty corpora.
+    """
+    t = F.col(tokens_col)
+    n = F.size(t)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    return df.select(
+        id_col,
+        F.slice(t, F.lit(1), pair_len).alias("input_ids"),
+        F.slice(t, F.lit(2), pair_len).alias("labels"),
+        pair_len.cast("long").alias("pair_len"),
+    )

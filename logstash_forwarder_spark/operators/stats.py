@@ -1,0 +1,69 @@
+"""Distribution statistics over bounded integer domains.
+
+``length_quantiles`` computes EXACT per-group quantiles of an integer
+column (sequence length, token count) without a global sort and without
+approximation. The trick is that training-pipeline length columns live on
+a bounded domain (n_tok <= max sequence length, a few thousand distinct
+values), so the full distribution fits in a tiny histogram:
+
+  1. ``groupBy(group, value).count()`` — ONE shuffle, map-side partial
+     aggregation; output size is |groups| x |domain|, independent of row
+     count (at 10^12 rows the histogram is still ~groups x 4096 rows).
+  2. per-group cumulative sum over the histogram — a window whose
+     partitions are at most |domain| rows, never the raw data.
+  3. quantile p = the smallest value whose cumulative count covers
+     ceil(p% of n), selected with pure integer arithmetic
+     (``cum * 100 >= p * n``) so any SQL engine reproduces it bit-exactly.
+
+This is the scale-correct alternative to ``approx_percentile`` (sketch,
+approximate) and to sorting 10^12 rows (a full-data range shuffle) when
+the domain is known to be bounded.
+
+Reference analog: the forwarder reports per-file progress stats from its
+registrar snapshot (registrar.go:8-36) — tiny state summarizing a huge
+stream; same shape here: a histogram summarizing the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_tok",
+    pcts: Sequence[int] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Exact discrete quantiles (quantile_disc semantics: the smallest
+    domain value v with cum_count(v) >= ceil(p/100 * n)) per group.
+
+    Output: (group, n_docs, p<p1>, p<p2>, ...) — one row per group, all
+    BIGINT, integer-exact across engines.
+    """
+    h = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        W.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(group_col)
+    c = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(int(p)) * F.col("n"), F.col(value_col)
+            )
+        )
+        .cast("long")
+        .alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return c.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"), *aggs
+    )

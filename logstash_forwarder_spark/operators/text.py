@@ -96,3 +96,29 @@ def fingerprint_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_hash64", F.xxhash64(norm)
     )
+
+
+def redact_stage(
+    df: DataFrame,
+    col: str,
+    pattern: str = r"[0-9]+",
+    replacement: str = "<NUM>",
+) -> DataFrame:
+    """PII/sensitive-token scrubbing: replace every match of ``pattern``
+    with ``replacement`` and count how many spans were redacted.
+
+    Training-data pipelines scrub identifiers (digit runs, IPs, emails)
+    from payloads before the corpus ships; the forwarder's analog is the
+    per-event field rewrite it applies before emitting to the wire
+    (publisher1.go:92-118 serializes the rewritten event map).
+
+    Row-local, whole-stage-codegen built-ins only (regexp_replace +
+    regexp_extract_all): zero shuffle, scales with the scan. The pattern
+    must stay in the POSIX-ish common subset (character classes,
+    quantifiers) so Java regex and any oracle engine agree.
+    """
+    t = F.col(col)
+    n = F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+    return df.withColumn(
+        "redacted", F.regexp_replace(t, pattern, replacement)
+    ).withColumn("n_redactions", n.cast("long"))

@@ -1168,6 +1168,112 @@ FROM top, tot
 """
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source sequence-length quantiles via bounded-domain
+    histogram (operators/stats.py): one shuffle builds the (source, n_tok)
+    histogram — size independent of row count — then windows run over at
+    most |domain| rows per source, never the raw data. The scale-correct
+    exact alternative to approx_percentile when the domain is bounded."""
+    from .operators.stats import length_quantiles
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return length_quantiles(
+        d, group_col="source", value_col="n_tok", pcts=(25, 50, 75, 95)
+    )
+
+
+SQL_TOKEN_QUANTILES = """
+WITH d AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+  FROM documents),
+h AS (SELECT source, n_tok, count(*) AS cnt FROM d GROUP BY source, n_tok),
+c AS (SELECT source, n_tok,
+             sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum*100 >= 25*n THEN n_tok END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN cum*100 >= 50*n THEN n_tok END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum*100 >= 75*n THEN n_tok END) AS BIGINT) AS p75,
+       CAST(min(CASE WHEN cum*100 >= 95*n THEN n_tok END) AS BIGINT) AS p95
+FROM c GROUP BY source
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py redact_stage): digit-run redaction
+    over event props with per-row redaction counts. Row-local codegen
+    built-ins (regexp_replace + regexp_extract_all), zero shuffle."""
+    from .operators.text import redact_stage
+
+    return redact_stage(_events(spark, sf_dir), "props").select(
+        "event_id", "redacted", "n_redactions"
+    )
+
+
+SQL_PII_REDACT = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events
+"""
+
+
+def q_shift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM training-pair construction (operators/pack.py
+    shift_labels): input_ids = tokens[:-1], labels = tokens[1:], emitted
+    as joined strings for engine-neutral comparison. Row-local slice
+    built-ins, zero shuffle."""
+    from .operators.pack import shift_labels
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("tokens"))
+    return shift_labels(d).select(
+        "doc_id",
+        F.array_join("input_ids", " ").alias("input_text"),
+        F.array_join("labels", " ").alias("label_text"),
+        "pair_len",
+    )
+
+
+SQL_SHIFT_LABELS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       array_to_string(w[1:len(w)-1], ' ') AS input_text,
+       array_to_string(w[2:len(w)], ' ') AS label_text,
+       CAST(greatest(len(w) - 1, 0) AS BIGINT) AS pair_len
+FROM d
+"""
+
+
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup verify stage (operators/dedup.py edit_near_dup_pairs):
+    length-bucket blocking + banded exact Levenshtein (3-arg threshold
+    form caps the DP cost per pair). The blocked candidate set and the
+    distance are replicated exactly in the oracle SQL."""
+    from .operators.dedup import edit_near_dup_pairs
+
+    return edit_near_dup_pairs(_docs(spark, sf_dir))
+
+
+SQL_EDIT_NEAR_DUP = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents),
+b AS (SELECT doc_id, source, t, length(t) // 16 AS lb FROM d)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id
+WHERE levenshtein(a.t, c.t) <= 70
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1218,6 +1324,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
+    "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
 }
 
 

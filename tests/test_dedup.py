@@ -199,3 +199,34 @@ def test_simhash_pairs(spark):
     assert got.get((1, 2)) == 0  # identical sketch
     assert (1, 3) in got  # 3/118 shingles differ → small hamming
     assert all(4 not in p for p in got)
+
+
+def test_edit_near_dup_finds_planted_pair(spark):
+    from logstash_forwarder_spark.operators.dedup import edit_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "s1"),
+        (2, base.replace("quick", "quack"), "s1"),  # 1 substitution
+        (3, "completely different text about spark shuffles and joins ok", "s1"),
+        (4, base, "s2"),  # same text, different source → not a candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.doc_a, r.doc_b): r.dist for r in edit_near_dup_pairs(df, max_dist=10).collect()}
+    assert out == {(1, 2): 1}
+
+
+def test_edit_near_dup_threshold_and_blocking(spark):
+    from logstash_forwarder_spark.operators.dedup import edit_near_dup_pairs
+
+    a = "a" * 40
+    rows = [
+        (1, a, "s"),
+        (2, a[:-3] + "bbb", "s"),        # same bucket, dist 3
+        (3, "a" * 90, "s"),              # different length bucket → blocked out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = edit_near_dup_pairs(df, max_dist=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+    # threshold prunes: with max_dist=2 the planted pair disappears
+    assert edit_near_dup_pairs(df, max_dist=2).count() == 0

@@ -141,3 +141,25 @@ def test_chunk_plan_has_no_shuffle(spark):
     df = _tok_df(spark, [[1, 2, 3]])
     plan = chunk_tokens(df, window=2, stride=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local: generate/slice only
+
+
+def test_shift_labels_alignment(spark):
+    from logstash_forwarder_spark.operators.pack import shift_labels
+
+    df = _tok_df(spark, [[10, 11, 12, 13], [7, 8], [99], []])
+    out = {r.doc_id: r for r in shift_labels(df).collect()}
+    assert out[0].input_ids == [10, 11, 12] and out[0].labels == [11, 12, 13]
+    assert out[0].pair_len == 3
+    # label[i] is always input[i]'s successor in the original sequence
+    assert out[1].input_ids == [7] and out[1].labels == [8]
+    # <2 tokens: empty pair, never an error
+    assert out[2].input_ids == [] and out[2].labels == [] and out[2].pair_len == 0
+    assert out[3].pair_len == 0
+
+
+def test_shift_labels_plan_has_no_shuffle(spark):
+    from logstash_forwarder_spark.operators.pack import shift_labels
+
+    df = _tok_df(spark, [[1, 2, 3]] * 8)
+    plan = shift_labels(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,57 @@
+"""length_quantiles: exact bounded-domain quantiles must agree with a
+naive Python quantile_disc on hand-countable data, and the plan must
+never sort or window the raw rows — only the histogram."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.operators.stats import length_quantiles
+
+
+def _naive_disc(values: list[int], p: int) -> int:
+    """Smallest v whose cumulative count >= ceil(p/100 * n)."""
+    s = sorted(values)
+    need = math.ceil(p / 100 * len(s))
+    return s[need - 1]
+
+
+def test_quantiles_match_naive(spark):
+    data = {
+        "a": [5, 1, 3, 3, 9, 2, 2, 2],
+        "b": [10],
+        "c": [7, 7, 7, 7],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    out = {r.source: r for r in length_quantiles(df).collect()}
+    for g, vs in data.items():
+        r = out[g]
+        assert r.n_docs == len(vs)
+        for p in (25, 50, 75, 95):
+            assert r[f"p{p}"] == _naive_disc(vs, p), (g, p)
+
+
+def test_quantiles_tie_heavy_domain(spark):
+    # every value identical: all quantiles collapse to it
+    df = spark.createDataFrame([("x", 4)] * 50, "source string, n_tok long")
+    r = length_quantiles(df).collect()[0]
+    assert (r.p25, r.p50, r.p75, r.p95) == (4, 4, 4, 4) and r.n_docs == 50
+
+
+def test_window_runs_on_histogram_not_raw(spark):
+    """The Window must consume the HashAggregate output (histogram), never
+    the scan: in the executed plan the Window sits strictly above the
+    final aggregate, and there is no Sort over the raw relation."""
+    df = spark.createDataFrame(
+        [("s", i % 7) for i in range(1000)], "source string, n_tok long"
+    )
+    q = length_quantiles(df)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the Window's child chain must include the histogram HashAggregate
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan

@@ -59,3 +59,25 @@ def test_fingerprint_normalization(spark):
     fps = {r.fp_md5 for r in out}
     h64 = {r.fp_hash64 for r in out}
     assert len(fps) == 1 and len(h64) == 1  # all normalize to the same doc
+
+
+def test_redact_counts_and_output(spark):
+    from logstash_forwarder_spark.operators.text import redact_stage
+
+    df = spark.createDataFrame(
+        [(1, 'user 4512 from 10.0.0.12 paid 30'), (2, "no digits here"), (3, "")],
+        "event_id long, props string",
+    )
+    out = {r.event_id: r for r in redact_stage(df, "props").collect()}
+    assert out[1].redacted == "user <NUM> from <NUM>.<NUM>.<NUM>.<NUM> paid <NUM>"
+    assert out[1].n_redactions == 6
+    assert out[2].redacted == "no digits here" and out[2].n_redactions == 0
+    assert out[3].n_redactions == 0
+
+
+def test_redact_plan_has_no_shuffle(spark):
+    from logstash_forwarder_spark.operators.text import redact_stage
+
+    df = spark.createDataFrame([(1, "x1")], "event_id long, props string")
+    plan = redact_stage(df, "props")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
