@@ -222,6 +222,40 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS p_facts")
     spark.sql("DROP TABLE IF EXISTS p_dims")
 
+    from logstash_forwarder_spark.operators.stats import length_quantiles
+
+    lens = docs.select(
+        "source",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    sections.append(
+        (
+            "Exact quantiles via bounded-domain histogram (stats.length_quantiles)",
+            "The first Exchange carries the (source, n_tok) HISTOGRAM (after a "
+            "partial_count HashAggregate), never the raw rows; the Window and "
+            "its Sort consume only that aggregated relation. At 10^12 rows the "
+            "shuffled payload is |sources| x |length domain| rows — constant in "
+            "corpus size. No global sort of the data anywhere.",
+            plan_of(length_quantiles(lens)),
+        )
+    )
+
+    from logstash_forwarder_spark.operators.dedup import edit_near_dup_pairs
+
+    sections.append(
+        (
+            "Fuzzy-dedup verify (dedup.edit_near_dup_pairs)",
+            "The self-join is an EQUI-join on the (block, length-bucket) "
+            "composite key — a hash/sort-merge join keyed on the blocking "
+            "scheme, NEVER a CartesianProduct or BroadcastNestedLoopJoin; "
+            "levenshtein runs banded (3-arg threshold form) only on in-bucket "
+            "candidate pairs.",
+            plan_of(edit_near_dup_pairs(docs)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append(
         "Generated by tools/dump_plans.py (re-run after any operator "
