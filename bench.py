@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "chunk_overlap",
     "corpus_clean",
     "tfidf_topk",
+    "token_quantiles",
+    "mixture_weights",
 ]
 
 

@@ -101,3 +101,64 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_no"),
     )
+
+
+RESIZED_SCHEMA = "media_id string, kind string, width int, height int, payload binary"
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    *,
+    codec=None,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (target_w, target_h) via mapInPandas.
+
+    Same codec-injection seam as ``decode_media``: ``codec`` is a callable
+    ``(payloads: pd.Series[bytes], w: int, h: int) -> pd.Series[bytes]``
+    (a real PIL/opencv batch resizer drops in); ``fake=True`` substitutes a
+    deterministic byte-resample — nearest-neighbor index into the source
+    bytes, w*h output bytes — so schema, Arrow batch shape and partition
+    preservation are exercised without media libs. Non-image rows pass
+    through with payload untouched. Row-local; zero shuffle.
+    """
+    if codec is None and fake:
+
+        def codec(payloads: pd.Series, w: int, h: int) -> pd.Series:
+            out = []
+            n = w * h
+            for p in payloads:
+                b = (
+                    np.frombuffer(p, dtype=np.uint8)
+                    if p
+                    else np.zeros(1, np.uint8)
+                )
+                idx = (np.arange(n) * len(b)) // n
+                out.append(b[idx].tobytes())
+            return pd.Series(out)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec is None:
+                _real_decode(pdf["kind"].iloc[0] if len(pdf) else "?")
+            is_img = pdf["kind"] == "image"
+            payload = pdf["payload"].copy()
+            if is_img.any():
+                # positional assignment: the codec returns a fresh-indexed
+                # Series, so .loc would align by label and write NaN
+                payload.loc[is_img] = codec(
+                    payload.loc[is_img], target_w, target_h
+                ).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": np.where(is_img, target_w, pdf["meta"].map(lambda m: m["width"] if m else None)),
+                    "height": np.where(is_img, target_h, pdf["meta"].map(lambda m: m["height"] if m else None)),
+                    "payload": payload,
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)

@@ -67,3 +67,40 @@ def length_quantiles(
     return c.groupBy(group_col).agg(
         F.max("n").cast("long").alias("n_docs"), *aggs
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tok",
+) -> DataFrame:
+    """Domain-mixing rebalance weights: per-group token share and the
+    keep-probability (in ppm) that downsamples every over-represented
+    group to a UNIFORM token budget of total/k per group.
+
+    weight_ppm = min(1e6, floor((total/k) / group_tokens * 1e6)) — groups
+    at or under budget keep everything (1e6); a group with 10x its share
+    keeps ~100000 ppm. Applying the weight is a deterministic hash
+    Bernoulli per row (xxhash64(doc_id) mod 1e6 < weight_ppm), so the
+    rebalance is a map-side filter — no shuffle, reproducible at any
+    parallelism.
+
+    Scale shape: one hash-agg shuffle to |groups| rows, a 1-row total
+    broadcast back — nothing else moves. The ppm math runs in DOUBLE
+    with a final floor: both engines execute the identical IEEE-754 op
+    sequence so the BIGINT outputs compare exactly (pure-BIGINT fixed
+    point overflows at total*1e6 > 2^63, i.e. corpora past ~9e12 tokens).
+    """
+    per = df.groupBy(group_col).agg(F.sum(weight_col).alias("tok"))
+    tot = per.agg(
+        F.sum("tok").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    share = F.col("tok").cast("double") / F.col("t").cast("double")
+    budget = F.col("t").cast("double") / F.col("k").cast("double")
+    w = F.floor(budget / F.col("tok").cast("double") * F.lit(1000000.0))
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("tok").cast("long").alias("tok_total"),
+        F.floor(share * F.lit(1000000.0)).cast("long").alias("share_ppm"),
+        F.least(F.lit(1000000).cast("long"), w.cast("long")).alias("weight_ppm"),
+    )

@@ -1251,6 +1251,37 @@ FROM d
 """
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing rebalance (operators/stats.py mixture_weights):
+    per-source token share + keep-probability ppm that downsamples every
+    over-budget source to a uniform token budget. One hash-agg shuffle to
+    |sources| rows; identical IEEE double op sequence on both engines."""
+    from .operators.stats import mixture_weights
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return mixture_weights(d)
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH d AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+  FROM documents),
+per AS (SELECT source, sum(n_tok) AS tok FROM d GROUP BY source),
+tot AS (SELECT sum(tok) AS t, count(*) AS k FROM per)
+SELECT source, CAST(tok AS BIGINT) AS tok_total,
+       CAST(floor(CAST(tok AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0) AS BIGINT) AS share_ppm,
+       least(CAST(1000000 AS BIGINT),
+             CAST(floor(CAST(t AS DOUBLE) / CAST(k AS DOUBLE) / CAST(tok AS DOUBLE) * 1000000.0) AS BIGINT)) AS weight_ppm
+FROM per, tot
+"""
+
+
 def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup verify stage (operators/dedup.py edit_near_dup_pairs):
     length-bucket blocking + banded exact Levenshtein (3-arg threshold
@@ -1328,6 +1359,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
 }
 
 

@@ -76,3 +76,45 @@ def test_frame_sample_plan(spark):
     for frames in by_media.values():
         assert frames == sorted(frames)
         assert all(f % 10 == 0 for f in frames)
+
+
+def test_resize_fake_plumbing(spark):
+    from logstash_forwarder_spark.operators.multimodal import resize_media
+
+    media = gen_media(spark, 90)
+    out = resize_media(media, 16, 12, fake=True)
+    rows = out.collect()
+    assert len(rows) == 90
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+    # images: exactly w*h payload bytes and the new dimensions
+    for r in by_kind["image"]:
+        assert len(r.payload) == 16 * 12
+        assert (r.width, r.height) == (16, 12)
+    # non-images pass through untouched
+    src = {r.media_id: r for r in media.collect()}
+    for kind in ("audio", "video"):
+        for r in by_kind[kind]:
+            assert bytes(r.payload) == bytes(src[r.media_id].payload)
+    # deterministic
+    assert [bytes(r.payload) for r in sorted(rows, key=lambda r: r.media_id)] == [
+        bytes(r.payload)
+        for r in sorted(resize_media(media, 16, 12, fake=True).collect(), key=lambda r: r.media_id)
+    ]
+
+
+def test_resize_real_is_stubbed(spark):
+    from logstash_forwarder_spark.operators.multimodal import resize_media
+
+    media = gen_media(spark, 10)
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_media(media, 8, 8).collect()
+
+
+def test_resize_plan_has_no_shuffle(spark):
+    from logstash_forwarder_spark.operators.multimodal import resize_media
+
+    media = gen_media(spark, 20)
+    plan = resize_media(media, 8, 8, fake=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

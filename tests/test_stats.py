@@ -55,3 +55,32 @@ def test_window_runs_on_histogram_not_raw(spark):
     # the Window's child chain must include the histogram HashAggregate
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], plan
+
+
+def test_mixture_weights_hand_math(spark):
+    from logstash_forwarder_spark.operators.stats import mixture_weights
+
+    # tokens: a=600, b=300, c=100 → total=1000, k=3, budget=333.33/group
+    rows = [("a", 600), ("b", 300), ("c", 100)]
+    df = spark.createDataFrame(
+        [(g, v) for g, v in rows], "source string, n_tok long"
+    )
+    out = {r.source: r for r in mixture_weights(df).collect()}
+    assert out["a"].tok_total == 600 and out["a"].share_ppm == 600000
+    # a is over budget: keep (1000/3)/600 → 555555 ppm
+    assert out["a"].weight_ppm == 555555
+    # b, c at or under budget: keep everything
+    assert out["b"].weight_ppm == 1000000
+    assert out["c"].weight_ppm == 1000000
+
+
+def test_mixture_weights_uniform_corpus_keeps_all(spark):
+    from logstash_forwarder_spark.operators.stats import mixture_weights
+
+    df = spark.createDataFrame(
+        [(f"s{i}", 100) for i in range(5)], "source string, n_tok long"
+    )
+    assert all(
+        r.weight_ppm == 1000000 and r.share_ppm == 200000
+        for r in mixture_weights(df).collect()
+    )
