@@ -1282,6 +1282,60 @@ FROM per, tot
 """
 
 
+def q_rebalance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end domain rebalance: mixture_weights broadcast back onto the
+    corpus, applied as a deterministic md5 Bernoulli (engine-portable,
+    seedless-stable, parallelism-invariant), survivor counts per source.
+    The corpus-side path is map-only: broadcast join + filter — the only
+    shuffles are the tiny weights agg and the final per-source count."""
+    from .operators.stats import mixture_weights
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = mixture_weights(d).select("source", "weight_ppm")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    kept = d.join(F.broadcast(w), "source").filter(bucket < F.col("weight_ppm"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tok_kept"),
+    )
+
+
+SQL_REBALANCE_CORPUS = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+  FROM documents),
+per AS (SELECT source, sum(n_tok) AS tok FROM d GROUP BY source),
+tot AS (SELECT sum(tok) AS t, count(*) AS k FROM per),
+w AS (SELECT source,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(floor(CAST(t AS DOUBLE) / CAST(k AS DOUBLE) / CAST(tok AS DOUBLE) * 1000000.0) AS BIGINT)) AS weight_ppm
+      FROM per, tot),
+kept AS (
+  SELECT d.source, d.n_tok
+  FROM d JOIN w USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 8))::BIGINT
+        % 1000000 < w.weight_ppm)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept
+FROM kept GROUP BY source
+"""
+
+
 def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup verify stage (operators/dedup.py edit_near_dup_pairs):
     length-bucket blocking + banded exact Levenshtein (3-arg threshold
@@ -1360,6 +1414,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
 }
 
 

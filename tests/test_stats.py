@@ -84,3 +84,41 @@ def test_mixture_weights_uniform_corpus_keeps_all(spark):
         r.weight_ppm == 1000000 and r.share_ppm == 200000
         for r in mixture_weights(df).collect()
     )
+
+
+def test_rebalance_application_semantics(spark):
+    """Applying mixture weights: under-budget sources keep every row;
+    the over-budget source is thinned; the kept set is identical at any
+    input partitioning (hash Bernoulli is row-intrinsic)."""
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.operators.stats import mixture_weights
+
+    rows = [(i, "big", 10) for i in range(400)] + [
+        (1000 + i, "small", 10) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w = mixture_weights(df)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    kept = df.join(F.broadcast(w.select("source", "weight_ppm")), "source").filter(
+        bucket < F.col("weight_ppm")
+    )
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 20          # under budget: untouched
+    assert 0 < by_src["big"] < 400        # over budget: thinned, not emptied
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    kept2 = (
+        df.repartition(13)
+        .join(F.broadcast(w.select("source", "weight_ppm")), "source")
+        .filter(bucket < F.col("weight_ppm"))
+    )
+    assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == ids1
