@@ -149,3 +149,111 @@ class Registrar:
         if not files:
             return spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return spark.read.schema(CHECKPOINT_SCHEMA).parquet(*files)
+
+
+# -- Iceberg-style snapshot surface ------------------------------------------
+#
+# Every commit file IS a snapshot increment (Iceberg: each commit swaps in a
+# new metadata.json listing the manifests of all live data files; here: each
+# atomic rename adds one immutable lineage file referencing one published
+# sink dir). That makes snapshot listing and time-travel reads pure
+# metadata operations — no data files are touched until the final scan, and
+# the as-of filter selects WHOLE immutable sink dirs, mirroring Iceberg's
+# manifest pruning. On a real deployment the same interface binds to
+# Iceberg's snapshot log; this keeps the semantics testable without the jar.
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: str  # content-derived, stable across re-listing
+    run_id: str
+    sink: str
+    committed_at: datetime
+    sequence_number: int  # position in commit order (parent = seq - 1)
+
+
+def _snapshot_of(path: str) -> "Snapshot | None":
+    t = pq.read_table(path, columns=["run_id", "sink", "committed_at"])
+    if t.num_rows == 0:
+        return None
+    return Snapshot(
+        snapshot_id=os.path.basename(path).rsplit("__", 1)[-1].removesuffix(".parquet"),
+        run_id=t.column("run_id")[0].as_py(),
+        sink=t.column("sink")[0].as_py(),
+        committed_at=t.column("committed_at")[0].as_py(),
+        sequence_number=-1,  # assigned after global ordering
+    )
+
+
+class SnapshotLog:
+    """Read-only snapshot view over a Registrar directory."""
+
+    def __init__(self, registrar: Registrar):
+        self.registrar = registrar
+
+    def snapshots(self) -> list[Snapshot]:
+        """All commits in commit order (committed_at, then filename for
+        same-microsecond ties — deterministic across re-listing)."""
+        snaps = []
+        for f in self.registrar._files():
+            s = _snapshot_of(f)
+            if s is not None:
+                snaps.append(s)
+        snaps.sort(key=lambda s: (s.committed_at, s.snapshot_id))
+        return [
+            Snapshot(
+                s.snapshot_id, s.run_id, s.sink, s.committed_at, i
+            )
+            for i, s in enumerate(snaps)
+        ]
+
+    def current(self) -> "Snapshot | None":
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        run_id: str,
+        snapshot_id: str | None = None,
+        as_of: datetime | None = None,
+    ) -> DataFrame:
+        """Time-travel read of a run's published data: only sinks whose
+        commit is <= the requested snapshot (by id) or timestamp are
+        visible — Iceberg `VERSION AS OF` / `TIMESTAMP AS OF`, at sink-
+        commit granularity. Pure metadata filter + parquet scan of whole
+        immutable sink dirs (basePath keeps the sink partition column).
+
+        `snapshot_id` is the precise mechanism (total commit order).
+        `as_of` filters on committed_at, which is the lineage WRITE
+        instant: sinks published by one run share it (executors write all
+        lineage in a single job), so timestamp travel treats a run's
+        publish as one transaction — ties are all included, exactly like
+        Iceberg reading at a timestamp between two commits sees the whole
+        earlier commit."""
+        snaps = [s for s in self.snapshots() if s.run_id == run_id]
+        if snapshot_id is not None:
+            cut = next(
+                (s.sequence_number for s in snaps if s.snapshot_id == snapshot_id),
+                None,
+            )
+            if cut is None:
+                raise ValueError(f"unknown snapshot_id {snapshot_id!r}")
+            snaps = [s for s in snaps if s.sequence_number <= cut]
+        if as_of is not None:
+            snaps = [s for s in snaps if s.committed_at <= as_of]
+        run_dir = os.path.join(out_dir, f"run_id={run_id}")
+        dirs = [
+            os.path.join(run_dir, f"sink={s.sink}")
+            for s in snaps
+            if os.path.isdir(os.path.join(run_dir, f"sink={s.sink}"))
+        ]
+        if not dirs:
+            # Iceberg semantics: reading before the first visible snapshot
+            # is an error, not an empty relation of guessed schema
+            raise ValueError(
+                f"no committed sink visible for run {run_id!r} at the "
+                "requested snapshot/timestamp"
+            )
+        return spark.read.option("basePath", run_dir).parquet(*dirs)
