@@ -547,6 +547,7 @@ def edit_near_dup_pairs(
     block_col: str = "source",
     len_bucket: int = 16,
     max_dist: int = 70,
+    max_block_docs: int | None = 10_000,
 ) -> DataFrame:
     """Fuzzy-dedup verify stage: exact Levenshtein distance over BLOCKED
     candidate pairs — (block_col, floor(length/len_bucket)) equi-join, id
@@ -566,6 +567,14 @@ def edit_near_dup_pairs(
     Pairs whose lengths differ across a bucket boundary are not candidates
     (documented blocking loss — identical in the oracle SQL, so the
     comparison is still exact over the same candidate set).
+
+    A length bucket alone does NOT bound block size (one hot source+length
+    could hold millions of near-identical-length docs), so blocks larger
+    than ``max_block_docs`` are dropped via the same hot-bucket cap the
+    LSH joins use (documented recall loss on pathological blocks; the cap
+    is replicated in the oracle SQL so compared candidate sets stay
+    identical). At 10^12 rows this caps worst-case work at
+    O(#blocks * max_block_docs²).
     """
     norm = _norm(F.col(text_col))
     b = df.select(
@@ -574,6 +583,7 @@ def edit_near_dup_pairs(
         F.col(block_col).alias("_blk"),
         F.floor(F.length(norm) / len_bucket).alias("_lb"),
     )
+    b = _cap_buckets(b, ["_blk", "_lb"], max_block_docs)
     left = b.select(
         F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"), "_blk", "_lb"
     )

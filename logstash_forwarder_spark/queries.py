@@ -1351,7 +1351,9 @@ WITH d AS (
   SELECT doc_id, source,
          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
   FROM documents),
-b AS (SELECT doc_id, source, t, length(t) // 16 AS lb FROM d)
+b0 AS (SELECT doc_id, source, t, length(t) // 16 AS lb FROM d),
+ok AS (SELECT source, lb FROM b0 GROUP BY source, lb HAVING count(*) <= 10000),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (source, lb))
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
        CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
 FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id

@@ -230,3 +230,16 @@ def test_edit_near_dup_threshold_and_blocking(spark):
     assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
     # threshold prunes: with max_dist=2 the planted pair disappears
     assert edit_near_dup_pairs(df, max_dist=2).count() == 0
+
+
+def test_edit_near_dup_hot_block_cap(spark):
+    from logstash_forwarder_spark.operators.dedup import edit_near_dup_pairs
+
+    a = "a" * 40
+    rows = [(i, a, "hot") for i in range(6)] + [(100, a, "cold"), (101, a, "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # hot block (6 docs) dropped at cap 5; cold pair survives
+    got = edit_near_dup_pairs(df, max_dist=5, max_block_docs=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(100, 101)}
+    # cap None: all 15 hot pairs + 1 cold pair
+    assert edit_near_dup_pairs(df, max_dist=5, max_block_docs=None).count() == 16
