@@ -1361,6 +1361,76 @@ WHERE levenshtein(a.t, c.t) <= 70
 """
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash witness: 8-permutation signature matrix with
+    md5-derived hashes (h_p(s) = first 15 hex digits of md5(p ':' s)), so
+    DuckDB reproduces every signature bit-exactly — closing the
+    'rows-only' gap of the fast kernel path (`minhash_lsh`), whose xxhash
+    family is engine-specific by design.
+
+    Spark computes each signature ROW-LOCALLY — shingle array + per-
+    permutation transform/array_min inside the scan projection, zero
+    shuffle — while the oracle uses an explode + GROUP BY min: two
+    opposite physical strategies, identical values. Higher-order
+    functions are interpreted (slow; CLAUDE.md) — acceptable for a
+    correctness witness; the production path stays in the Arrow kernel."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", sh.alias("_sh"))
+
+    def hash_perm(p: int):
+        # one-arg lambda: a two-arg lambda would be the (element, index)
+        # form of transform and p would silently become the array index
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{p}:"), s)), 1, 15), 16, 10
+        ).cast("long")
+
+    sigs = [
+        F.array_min(F.transform(F.col("_sh"), hash_perm(p))).alias(f"sig{p}")
+        for p in range(8)
+    ]
+    return base.select("doc_id", *sigs)
+
+
+SQL_MINHASH_PORTABLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+sig AS (
+  SELECT doc_id,
+         min(('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT) AS sig0,
+         min(('0x' || substr(md5('1:' || shingle), 1, 15))::BIGINT) AS sig1,
+         min(('0x' || substr(md5('2:' || shingle), 1, 15))::BIGINT) AS sig2,
+         min(('0x' || substr(md5('3:' || shingle), 1, 15))::BIGINT) AS sig3,
+         min(('0x' || substr(md5('4:' || shingle), 1, 15))::BIGINT) AS sig4,
+         min(('0x' || substr(md5('5:' || shingle), 1, 15))::BIGINT) AS sig5,
+         min(('0x' || substr(md5('6:' || shingle), 1, 15))::BIGINT) AS sig6,
+         min(('0x' || substr(md5('7:' || shingle), 1, 15))::BIGINT) AS sig7
+  FROM sh GROUP BY doc_id)
+SELECT w.doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7
+FROM words w LEFT JOIN sig USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1417,6 +1487,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
+    "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
 }
 
 

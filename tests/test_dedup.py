@@ -243,3 +243,38 @@ def test_edit_near_dup_hot_block_cap(spark):
     assert {(r.doc_a, r.doc_b) for r in got} == {(100, 101)}
     # cap None: all 15 hot pairs + 1 cold pair
     assert edit_near_dup_pairs(df, max_dist=5, max_block_docs=None).count() == 16
+
+
+def test_minhash_portable_matches_hashlib(spark, tmp_path):
+    """The portable md5 signature matrix equals a naive hashlib reference;
+    a doc with <3 words yields NULL signatures (empty shingle set)."""
+    import hashlib
+
+    from logstash_forwarder_spark.queries import q_minhash_portable
+
+    docs = [
+        (1, "the quick brown fox jumps", "s"),
+        (2, "one two", "s"),
+        (3, "a b c a b c a b c", "s"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    df = df.withColumnRenamed("lang", "source")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in q_minhash_portable(spark, sf).collect()}
+
+    def naive(text, p):
+        w = text.lower().split()
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if not sh:
+            return None
+        return min(
+            int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16) for s in sh
+        )
+
+    for doc_id, text, _ in docs:
+        for p in range(8):
+            assert out[doc_id][f"sig{p}"] == naive(text, p), (doc_id, p)
