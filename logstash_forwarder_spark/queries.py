@@ -1431,6 +1431,66 @@ FROM words w LEFT JOIN sig USING (doc_id)
 """
 
 
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash witness: 32-bit signature from md5-derived
+    shingle hashes — bit b is set iff at least half the doc's distinct
+    shingles have bit b set (2*cnt_b >= n, ties up on both engines).
+    Row-local in Spark (one transform builds the hash array, 32
+    size(filter(...)) folds — interpreted HOFs, fine for a witness);
+    the oracle is an explode + GROUP BY with 32 conditional sums.
+    Complements `simhash` (fast Arrow-kernel path, engine-specific)."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    base = d.select("doc_id", hs.alias("_hs"))
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(_hs, x -> (shiftright(x, {b}) % 2) = 1)) "
+        f">= size(_hs) THEN {1 << b}L ELSE 0L END)"
+        for b in range(32)
+    )
+    sig = F.when(F.size("_hs") > 0, F.expr(bit_terms)).cast("long")
+    return base.select("doc_id", sig.alias("simhash32"))
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * sum((h // {1 << b}) % 2) >= count(*) THEN {1 << b} ELSE 0 END)"
+    for b in range(32)
+)
+
+SQL_SIMHASH_PORTABLE = rf"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash32
+        FROM h GROUP BY doc_id)
+SELECT w.doc_id, sig.simhash32
+FROM words w LEFT JOIN sig USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1488,6 +1548,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
+    "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
 }
 
 

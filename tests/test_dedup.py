@@ -278,3 +278,37 @@ def test_minhash_portable_matches_hashlib(spark, tmp_path):
     for doc_id, text, _ in docs:
         for p in range(8):
             assert out[doc_id][f"sig{p}"] == naive(text, p), (doc_id, p)
+
+
+def test_simhash_portable_matches_hashlib(spark, tmp_path):
+    import hashlib
+
+    from logstash_forwarder_spark.queries import q_simhash_portable
+
+    docs = [
+        (1, "the quick brown fox jumps over the dog", "s"),
+        (2, "xy z", "s"),
+        (3, "a b c d e", "s"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t, _ in docs],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r.simhash32 for r in q_simhash_portable(spark, sf).collect()}
+
+    def naive(text):
+        w = text.lower().split()
+        sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+        sig = 0
+        for b in range(32):
+            if 2 * sum((h >> b) & 1 for h in hs) >= len(hs):
+                sig |= 1 << b
+        return sig
+
+    for doc_id, text, _ in docs:
+        assert out[doc_id] == naive(text), doc_id
