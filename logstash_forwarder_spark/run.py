@@ -31,6 +31,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", required=True)
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--snapshots",
+        action="store_true",
+        help="list the registrar's snapshot log for --out and exit",
+    )
+    p.add_argument(
+        "--read-as-of",
+        metavar="SNAPSHOT_ID",
+        help="time-travel read: per-sink row counts of --run-id's published "
+        "data as of SNAPSHOT_ID (plans/registrar.py SnapshotLog), then exit",
+    )
     p.add_argument("--master", default=None, help="override master (local[N])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -45,6 +56,38 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         spark = SparkSession.builder.appName("lfs-run").getOrCreate()
+
+    if args.snapshots or args.read_as_of:
+        import os
+
+        from .plans.registrar import Registrar, SnapshotLog
+
+        log = SnapshotLog(Registrar(os.path.join(args.out, "_checkpoint")))
+        if args.snapshots:
+            print(
+                json.dumps(
+                    [
+                        {
+                            "seq": s.sequence_number,
+                            "snapshot_id": s.snapshot_id,
+                            "run_id": s.run_id,
+                            "sink": s.sink,
+                            "committed_at": s.committed_at.isoformat(),
+                        }
+                        for s in log.snapshots()
+                    ]
+                )
+            )
+            return 0
+        if not args.run_id:
+            p.error("--read-as-of requires --run-id")
+        df = log.read_as_of(spark, args.out, args.run_id, snapshot_id=args.read_as_of)
+        counts = {
+            r["sink"]: r["n"]
+            for r in df.groupBy("sink").count().withColumnRenamed("count", "n").collect()
+        }
+        print(json.dumps({"run_id": args.run_id, "as_of": args.read_as_of, "sink_rows": counts}))
+        return 0
 
     if args.gen:
         seqs = gen_sequences(spark, args.gen)

@@ -53,3 +53,28 @@ def test_run_cli_text_glob(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_staged"] == 0
+
+
+def test_run_cli_snapshots_and_as_of(spark, tmp_path, capsys):
+    out = str(tmp_path / "out4")
+    rc = main(["--gen", "2000", "--out", out, "--run-id", "snap1"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--snapshots", "--out", out])
+    assert rc == 0
+    snaps = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(snaps) >= 2
+    assert [s["seq"] for s in snaps] == list(range(len(snaps)))
+
+    first, last = snaps[0], snaps[-1]
+    rc = main(["--read-as-of", first["snapshot_id"], "--run-id", "snap1", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res["sink_rows"]) == {first["sink"]}
+
+    rc = main(["--read-as-of", last["snapshot_id"], "--run-id", "snap1", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res["sink_rows"]) == {s["sink"] for s in snaps}
+    assert sum(res["sink_rows"].values()) == 2000
