@@ -99,9 +99,18 @@ def shingle_hash_relation(
     shingle as its 64-bit kernel hash instead of a string. Same relation as
     ``shingles`` up to the (collision-negligible) hash, but produced by the
     Arrow kernel inside the scan and 8 bytes per key instead of a ~20-40
-    byte string — the join/shuffle currency for exact-Jaccard at scale."""
+    byte string — the join/shuffle currency for exact-Jaccard at scale.
+
+    The Arrow kernel implements the default n=3 grain; other n fall back
+    to the built-in string-shingle explode + xxhash64 (still codegen'd
+    JVM expressions, just without the zero-copy kernel win)."""
     import numpy as np
     import pyarrow as pa
+
+    if n != DEFAULT_SHINGLE:
+        return shingles(df, id_col=id_col, text_col=text_col, n=n).select(
+            id_col, F.xxhash64("shingle", F.lit(seed)).alias("sh")
+        )
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -597,4 +606,54 @@ def edit_near_dup_pairs(
         .withColumn("dist", dist.cast("long"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("doc_a", "doc_b", "dist")
+    )
+
+
+def span_share_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document span-sharing rate — the triage stat behind span-level
+    (exact-substring) dedup a la Lee et al.: per doc, how many of its
+    distinct word n-grams (default 8, the span grain) also occur in at
+    least ``min_df - 1`` other docs, plus the integer ppm rate.
+
+    Scale shape: the kernel emits the DISTINCT (doc, gram-hash) relation
+    inside the scan (8-byte keys); ONE exchange keys it by gram for the
+    document-frequency count, and the df relation joins back on the same
+    key — co-partitioned, no second shuffle of the big side — before a
+    final per-doc count. Nothing driver-side; no pair enumeration (this
+    is the O(corpus) stat, not the O(pairs) join).
+
+    Output: (doc_id, n_grams, n_shared_grams, shared_ppm) — BIGINT,
+    integer-exact; docs shorter than n words report zeros.
+    """
+    rel = shingle_hash_relation(df, id_col=id_col, text_col=text_col, n=n)
+    dfreq = rel.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    per = (
+        rel.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_grams"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0)).alias("_n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_n_shared", F.lit(0)).cast("long").alias("n_shared_grams"),
+            F.when(
+                F.coalesce("_n_grams", F.lit(0)) > 0,
+                F.expr("_n_shared * 1000000 DIV _n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("shared_ppm"),
+        )
     )

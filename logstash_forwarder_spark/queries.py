@@ -1491,6 +1491,39 @@ FROM words w LEFT JOIN sig USING (doc_id)
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup triage (operators/dedup.py span_share_stats): per
+    doc, how many of its distinct word 8-grams occur in other docs, with
+    integer ppm rate — the stat behind exact-substring dedup. Kernel
+    shingle relation + one gram-keyed exchange; no pair enumeration."""
+    from .operators.dedup import span_share_stats
+
+    return span_share_stats(_docs(spark, sf_dir), n=8, min_df=2)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8),
+dfq AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN dfq.gdf >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+SELECT w.doc_id,
+       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared_grams,
+       CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+                 THEN per.n_shared * 1000000 // per.n_grams ELSE 0 END AS BIGINT) AS shared_ppm
+FROM words w LEFT JOIN per USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1549,6 +1582,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
 }
 
 

@@ -312,3 +312,22 @@ def test_simhash_portable_matches_hashlib(spark, tmp_path):
 
     for doc_id, text, _ in docs:
         assert out[doc_id] == naive(text), doc_id
+
+
+def test_span_share_stats(spark):
+    from logstash_forwarder_spark.operators.dedup import span_share_stats
+
+    span = "one two three four five six seven eight"  # exactly one 8-gram
+    rows = [
+        (1, span + " nine", "s"),          # grams: [1..8], [2..9] — first is shared
+        (2, span + " ten", "s"),           # shares the [1..8] gram with doc 1
+        (3, "totally different words here that never repeat anywhere x", "s"),
+        (4, "too short", "s"),             # < 8 words → zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in span_share_stats(df, n=8).collect()}
+    assert out[1].n_grams == 2 and out[1].n_shared_grams == 1
+    assert out[1].shared_ppm == 500000
+    assert out[2].n_grams == 2 and out[2].n_shared_grams == 1
+    assert out[3].n_grams == 2 and out[3].n_shared_grams == 0
+    assert out[4].n_grams == 0 and out[4].shared_ppm == 0
