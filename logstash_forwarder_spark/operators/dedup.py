@@ -101,16 +101,10 @@ def shingle_hash_relation(
     Arrow kernel inside the scan and 8 bytes per key instead of a ~20-40
     byte string — the join/shuffle currency for exact-Jaccard at scale.
 
-    The Arrow kernel implements the default n=3 grain; other n fall back
-    to the built-in string-shingle explode + xxhash64 (still codegen'd
-    JVM expressions, just without the zero-copy kernel win)."""
+    Any shingle grain n: the kernel's n-step hash fold handles 3-grams
+    (Jaccard/MinHash/SimHash) and 8-grams (span dedup) alike."""
     import numpy as np
     import pyarrow as pa
-
-    if n != DEFAULT_SHINGLE:
-        return shingles(df, id_col=id_col, text_col=text_col, n=n).select(
-            id_col, F.xxhash64("shingle", F.lit(seed)).alias("sh")
-        )
 
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -202,8 +196,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _mix_n(wh, pos, n: int, seed: int):
+    """Combine n consecutive word hashes (wh[pos+0..n-1]) into shingle
+    hashes (uint64 wraps). The n-step XOR-multiply fold reduces to the
+    original 3-gram combiner exactly at n = 3."""
+    import numpy as np
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+    s = np.uint64(seed * 2 + 1)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        h = np.full(pos.shape, s, np.uint64)
+        for j in range(n):
+            h = (h ^ wh[pos + np.int64(j)]) * P
+        return h ^ (h >> np.uint64(29))
+
+
 def _mix3(h1, h2, h3, seed: int):
-    """Combine 3 consecutive word hashes into a shingle hash (uint64 wraps)."""
+    """3-gram combiner kept for reference/tests; _mix_n(n=3) is identical."""
     import numpy as np
 
     P = np.uint64(0x9E3779B97F4A7C15)
@@ -226,7 +235,7 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     * wlens      — word count per row (ALL rows, not just present ones)
 
     Word strings are hashed once (pandas' vectorized 64-bit string hash);
-    shingle hashes combine 3 consecutive word hashes arithmetically, so no
+    shingle hashes combine n consecutive word hashes arithmetically, so no
     shingle string is ever materialized.
     """
     import numpy as np
@@ -234,8 +243,6 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if n != 3:  # the arithmetic combiner below is written for n = 3
-        raise ValueError("arrow shingle kernel supports n=3 (DEFAULT_SHINGLE)")
     col = batch.column(batch.schema.get_field_index(text_name))
     txt = pc.fill_null(col, "")
     txt = pc.utf8_lower(pc.utf8_trim(pc.replace_substring_regex(txt, r"\s+", " "), " "))
@@ -259,7 +266,7 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     seg0 = np.cumsum(slens) - slens
     within = np.arange(total_sh, dtype=np.int64) - np.repeat(seg0, slens)
     pos = starts[row_of_sh] + within
-    sh = _mix3(wh[pos], wh[pos + 1], wh[pos + 2], seed)
+    sh = _mix_n(wh, pos, n, seed)
 
     # distinct per row: sort (row, hash), drop consecutive duplicates
     order = np.lexsort((sh, row_of_sh))

@@ -331,3 +331,39 @@ def test_span_share_stats(spark):
     assert out[2].n_grams == 2 and out[2].n_shared_grams == 1
     assert out[3].n_grams == 2 and out[3].n_shared_grams == 0
     assert out[4].n_grams == 0 and out[4].shared_ppm == 0
+
+
+def test_kernel_arbitrary_n_matches_naive():
+    """_distinct_shingle_hashes at n != 3: distinct-gram counts per row
+    must match a naive Python reference (the n-step fold generalizes the
+    3-gram combiner)."""
+    import pyarrow as pa
+
+    from logstash_forwarder_spark.operators.dedup import _distinct_shingle_hashes
+
+    texts = [
+        "a b c d e f g h i j",
+        "a a a a a a a a",          # all grams identical → 1 distinct
+        "x y",                       # shorter than any n >= 3
+        "",
+        "one two three four five six seven eight nine ten eleven",
+    ]
+    batch = pa.RecordBatch.from_arrays([pa.array(texts, pa.string())], ["text"])
+    for n in (2, 5, 8):
+        seg_rows, _ss, _dh, dcounts, _wl = _distinct_shingle_hashes(batch, "text", n, 7)
+        got = {int(r): int(c) for r, c in zip(seg_rows, dcounts)}
+        for i, t in enumerate(texts):
+            w = t.split()
+            expect = len({tuple(w[k : k + n]) for k in range(len(w) - n + 1)}) if len(w) >= n else 0
+            assert got.get(i, 0) == expect, (n, i, t)
+
+
+def test_mix_n_equals_mix3():
+    import numpy as np
+
+    from logstash_forwarder_spark.operators.dedup import _mix3, _mix_n
+
+    rng = np.random.default_rng(0)
+    wh = rng.integers(0, 2**63, size=30, dtype=np.uint64)
+    pos = np.arange(0, 28, dtype=np.int64)
+    assert (_mix_n(wh, pos, 3, 42) == _mix3(wh[pos], wh[pos + 1], wh[pos + 2], 42)).all()
