@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "token_quantiles",
     "mixture_weights",
+    "span_dedup",
 ]
 
 
