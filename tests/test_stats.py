@@ -122,3 +122,22 @@ def test_rebalance_application_semantics(spark):
         .filter(bucket < F.col("weight_ppm"))
     )
     assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == ids1
+
+
+def test_quantiles_randomized_many_groups(spark):
+    """One-shot randomized sweep: 50 groups with random sizes/values/ties,
+    every percentile checked against the naive reference."""
+    import random
+
+    rng = random.Random(7)
+    data = {
+        f"g{i}": [rng.randint(0, 40) for _ in range(rng.randint(1, 60))]
+        for i in range(50)
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, n_tok long").repartition(7)
+    out = {r.source: r for r in length_quantiles(df).collect()}
+    assert set(out) == set(data)
+    for g, vs in data.items():
+        for p in (25, 50, 75, 95):
+            assert out[g][f"p{p}"] == _naive_disc(vs, p), (g, p, sorted(vs))
