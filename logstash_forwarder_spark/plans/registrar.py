@@ -172,6 +172,13 @@ class Snapshot:
     sequence_number: int  # position in commit order (parent = seq - 1)
 
 
+def _as_utc(dt: datetime) -> datetime:
+    """Normalize to tz-aware UTC: driver commits (pyarrow, tz='UTC') and
+    executor commits (Spark parquet) can deserialize with different tz
+    awareness; a mixed log must still sort and compare."""
+    return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+
+
 def _snapshot_of(path: str) -> "Snapshot | None":
     t = pq.read_table(path, columns=["run_id", "sink", "committed_at"])
     if t.num_rows == 0:
@@ -180,7 +187,7 @@ def _snapshot_of(path: str) -> "Snapshot | None":
         snapshot_id=os.path.basename(path).rsplit("__", 1)[-1].removesuffix(".parquet"),
         run_id=t.column("run_id")[0].as_py(),
         sink=t.column("sink")[0].as_py(),
-        committed_at=t.column("committed_at")[0].as_py(),
+        committed_at=_as_utc(t.column("committed_at")[0].as_py()),
         sequence_number=-1,  # assigned after global ordering
     )
 
@@ -242,7 +249,8 @@ class SnapshotLog:
                 raise ValueError(f"unknown snapshot_id {snapshot_id!r}")
             snaps = [s for s in snaps if s.sequence_number <= cut]
         if as_of is not None:
-            snaps = [s for s in snaps if s.committed_at <= as_of]
+            cut_at = _as_utc(as_of)
+            snaps = [s for s in snaps if s.committed_at <= cut_at]
         run_dir = os.path.join(out_dir, f"run_id={run_id}")
         dirs = [
             os.path.join(run_dir, f"sink={s.sink}")

@@ -70,3 +70,42 @@ def test_timestamp_as_of_and_errors(spark, tmp_out):
         log.read_as_of(spark, tmp_out, "snaprun", snapshot_id="nope")
     with pytest.raises(ValueError, match="no committed sink"):
         log.read_as_of(spark, tmp_out, "otherrun")
+
+
+def test_mixed_writer_commits_sort_and_compare(tmp_path):
+    """Driver-written (pyarrow, tz-aware) and adopted executor-style
+    (tz-naive) commit files must coexist: snapshots() sorts the mixed log
+    and read_as_of's timestamp filter compares across both."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logstash_forwarder_spark.plans.registrar import (
+        LineageRow,
+        Registrar,
+        SnapshotLog,
+    )
+
+    reg = Registrar(str(tmp_path / "_checkpoint"))
+    reg.commit("m1", "sink_a", [LineageRow(0, 10, 100)])  # tz-aware path
+
+    naive = pa.Table.from_pydict(
+        {
+            "run_id": ["m1"],
+            "sink": ["sink_b"],
+            "partition_id": pa.array([0], pa.int32()),
+            "row_count": pa.array([5], pa.int64()),
+            "token_total": pa.array([50], pa.int64()),
+            "committed_at": pa.array(
+                [datetime.datetime(2030, 1, 1)], pa.timestamp("us")  # tz-NAIVE
+            ),
+        }
+    )
+    src = str(tmp_path / "naive.parquet")
+    pq.write_table(naive, src)
+    reg.commit_file("m1", "sink_b", src)
+
+    snaps = SnapshotLog(reg).snapshots()
+    assert [s.sink for s in snaps] == ["sink_a", "sink_b"]  # 2030 sorts last
+    assert all(s.committed_at.tzinfo is not None for s in snaps)
