@@ -43,8 +43,17 @@ def length_quantiles(
 
     Output: (group, n_docs, p<p1>, p<p2>, ...) — one row per group, all
     BIGINT, integer-exact across engines.
+
+    NULL values are excluded from the distribution AND from n: engines
+    disagree on NULL ordering (Spark windows sort NULLS FIRST, most SQL
+    engines NULLS LAST), so a NULL-bearing histogram would silently skew
+    every quantile differently per engine.
     """
-    h = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    h = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w_cum = (
         W.partitionBy(group_col)
         .orderBy(value_col)

@@ -232,17 +232,21 @@ class SnapshotLog:
         commit granularity. Pure metadata filter + parquet scan of whole
         immutable sink dirs (basePath keeps the sink partition column).
 
-        `snapshot_id` is the precise mechanism (total commit order).
-        `as_of` filters on committed_at, which is the lineage WRITE
-        instant: sinks published by one run share it (executors write all
-        lineage in a single job), so timestamp travel treats a run's
-        publish as one transaction — ties are all included, exactly like
-        Iceberg reading at a timestamp between two commits sees the whole
-        earlier commit."""
-        snaps = [s for s in self.snapshots() if s.run_id == run_id]
+        `snapshot_id` is the precise mechanism: it resolves to a point in
+        the GLOBAL commit order (so an id from any run — e.g. one listed
+        by --snapshots — defines the cut), then the run filter selects
+        which run's data to read at that point. `as_of` filters on
+        committed_at, which is the lineage WRITE instant: sinks published
+        by one run share it (executors write all lineage in a single
+        job), so timestamp travel treats a run's publish as one
+        transaction — ties are all included, exactly like Iceberg reading
+        at a timestamp between two commits sees the whole earlier
+        commit."""
+        all_snaps = self.snapshots()
+        snaps = [s for s in all_snaps if s.run_id == run_id]
         if snapshot_id is not None:
             cut = next(
-                (s.sequence_number for s in snaps if s.snapshot_id == snapshot_id),
+                (s.sequence_number for s in all_snaps if s.snapshot_id == snapshot_id),
                 None,
             )
             if cut is None:

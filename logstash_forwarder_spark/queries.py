@@ -63,6 +63,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _word_count():
+    """Whitespace word count of the text column (the n_tok convention used
+    across the query surface — change it HERE and in every query's SQL)."""
+    return F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -79,7 +85,7 @@ def _dim_df(spark: SparkSession) -> DataFrame:
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-P1/S2 — grok/regex-style field extraction over payload text."""
     d = _docs(spark, sf_dir)
-    n_words = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    n_words = _word_count()
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -842,9 +848,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
-        (
-            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
-        ).cast("long").alias("n_tok"),
+        _word_count().cast("long").alias("n_tok"),
     )
     return pack_stats(d, capacity=2048).select(
         "source", "pack_id", F.col("n_docs").cast("long").alias("n_docs"), "tok_total"
@@ -1178,9 +1182,7 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select(
         "source",
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
-        .cast("long")
-        .alias("n_tok"),
+        _word_count().cast("long").alias("n_tok"),
     )
     return length_quantiles(
         d, group_col="source", value_col="n_tok", pcts=(25, 50, 75, 95)
@@ -1244,8 +1246,8 @@ def q_shift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SHIFT_LABELS = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
-       array_to_string(w[1:len(w)-1], ' ') AS input_text,
-       array_to_string(w[2:len(w)], ' ') AS label_text,
+       coalesce(array_to_string(w[1:len(w)-1], ' '), '') AS input_text,
+       coalesce(array_to_string(w[2:len(w)], ' '), '') AS label_text,
        CAST(greatest(len(w) - 1, 0) AS BIGINT) AS pair_len
 FROM d
 """
@@ -1260,9 +1262,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select(
         "source",
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
-        .cast("long")
-        .alias("n_tok"),
+        _word_count().cast("long").alias("n_tok"),
     )
     return mixture_weights(d)
 
@@ -1293,9 +1293,7 @@ def q_rebalance_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1)
-        .cast("long")
-        .alias("n_tok"),
+        _word_count().cast("long").alias("n_tok"),
     )
     w = mixture_weights(d).select("source", "weight_ppm")
     bucket = (
@@ -1361,6 +1359,28 @@ WHERE levenshtein(a.t, c.t) <= 70
 """
 
 
+def _portable_shingles():
+    """Normalized distinct word-3-gram array, all built-ins — the shared
+    shingle construction of the portable sketch witnesses (mirrors the
+    words/sh CTEs of their oracles). The explicit empty-array branch
+    guards the sequence(1, 0)-descends quirk (CLAUDE.md)."""
+    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash witness: 8-permutation signature matrix with
     md5-derived hashes (h_p(s) = first 15 hex digits of md5(p ':' s)), so
@@ -1375,22 +1395,7 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions are interpreted (slow; CLAUDE.md) — acceptable for a
     correctness witness; the production path stays in the Arrow kernel."""
     d = _docs(spark, sf_dir)
-    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    sh = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i),
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = d.select("doc_id", sh.alias("_sh"))
+    base = d.select("doc_id", _portable_shingles().alias("_sh"))
 
     def hash_perm(p: int):
         # one-arg lambda: a two-arg lambda would be the (element, index)
@@ -1440,23 +1445,8 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is an explode + GROUP BY with 32 conditional sums.
     Complements `simhash` (fast Arrow-kernel path, engine-specific)."""
     d = _docs(spark, sf_dir)
-    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    sh = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i),
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     hs = F.transform(
-        sh,
+        _portable_shingles(),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
     base = d.select("doc_id", hs.alias("_hs"))

@@ -20,6 +20,18 @@ from .pipeline import PipelineSpec, run_pipeline
 from .schema import SEQUENCES_SCHEMA
 
 
+def _get_session(args) -> SparkSession:
+    if args.master:
+        from .session import get_spark
+
+        return get_spark(
+            app_name="lfs-run",
+            master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        )
+    return SparkSession.builder.appName("lfs-run").getOrCreate()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logstash_forwarder_spark.run")
     p.add_argument("--input", help="parquet dir of (doc_id, tokens, n_tok, source)")
@@ -46,22 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
 
-    if args.master:
-        from .session import get_spark
-
-        spark = get_spark(
-            app_name="lfs-run",
-            master=args.master,
-            shuffle_partitions=args.shuffle_partitions,
-        )
-    else:
-        spark = SparkSession.builder.appName("lfs-run").getOrCreate()
-
     if args.snapshots or args.read_as_of:
+        # pure-metadata modes first: --snapshots never needs a SparkSession
+        # (parquet footers via pyarrow), so don't pay JVM startup for it
         import os
 
         from .plans.registrar import Registrar, SnapshotLog
 
+        if args.read_as_of and not args.run_id:
+            p.error("--read-as-of requires --run-id")
         log = SnapshotLog(Registrar(os.path.join(args.out, "_checkpoint")))
         if args.snapshots:
             print(
@@ -79,8 +84,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
-        if not args.run_id:
-            p.error("--read-as-of requires --run-id")
+        spark = _get_session(args)
         df = log.read_as_of(spark, args.out, args.run_id, snapshot_id=args.read_as_of)
         counts = {
             r["sink"]: r["n"]
@@ -88,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps({"run_id": args.run_id, "as_of": args.read_as_of, "sink_rows": counts}))
         return 0
+
+    spark = _get_session(args)
 
     if args.gen:
         seqs = gen_sequences(spark, args.gen)

@@ -163,3 +163,29 @@ def test_shift_labels_plan_has_no_shuffle(spark):
     df = _tok_df(spark, [[1, 2, 3]] * 8)
     plan = shift_labels(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shift_labels_oracle_agrees_on_single_word_docs(spark, tmp_path):
+    """Cross-engine edge: docs with <2 words must yield '' (not NULL) on
+    BOTH engines — DuckDB array_to_string of an empty slice is NULL
+    without the coalesce in SQL_SHIFT_LABELS."""
+    import duckdb
+
+    from logstash_forwarder_spark.queries import SQL_SHIFT_LABELS, q_shift_labels
+
+    df = spark.createDataFrame(
+        [(1, "solo", "s", 4), (2, "two words", "s", 9)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in q_shift_labels(spark, sf).collect()}
+    assert got[1].input_text == "" and got[1].label_text == "" and got[1].pair_len == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    orc = {r[0]: r for r in con.sql(SQL_SHIFT_LABELS).fetchall()}
+    assert orc[1][1] == "" and orc[1][2] == "" and orc[1][3] == 0
+    assert orc[2][1] == got[2].input_text == "two"

@@ -109,3 +109,21 @@ def test_mixed_writer_commits_sort_and_compare(tmp_path):
     snaps = SnapshotLog(reg).snapshots()
     assert [s.sink for s in snaps] == ["sink_a", "sink_b"]  # 2030 sorts last
     assert all(s.committed_at.tzinfo is not None for s in snaps)
+
+
+def test_cross_run_snapshot_cut(spark, tmp_path):
+    """A snapshot_id from another run defines a global point-in-time cut:
+    run2 read as of run1's last snapshot sees nothing (honest error),
+    and as of run2's own last snapshot sees everything."""
+    out = str(tmp_path / "multi")
+    log1 = _run(spark, out, run_id="r1")
+    log2 = _run(spark, out, run_id="r2")
+    snaps = log2.snapshots()
+    r1_last = [s for s in snaps if s.run_id == "r1"][-1]
+    r2_last = [s for s in snaps if s.run_id == "r2"][-1]
+    with pytest.raises(ValueError, match="no committed sink"):
+        log2.read_as_of(spark, out, "r2", snapshot_id=r1_last.snapshot_id)
+    df = log2.read_as_of(spark, out, "r2", snapshot_id=r2_last.snapshot_id)
+    assert df.count() > 0
+    # and r1's data read at r2's (later) cut is fully visible
+    assert log1.read_as_of(spark, out, "r1", snapshot_id=r2_last.snapshot_id).count() > 0

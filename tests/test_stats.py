@@ -141,3 +141,13 @@ def test_quantiles_randomized_many_groups(spark):
     for g, vs in data.items():
         for p in (25, 50, 75, 95):
             assert out[g][f"p{p}"] == _naive_disc(vs, p), (g, p, sorted(vs))
+
+
+def test_quantiles_null_values_excluded(spark):
+    """NULLs are excluded from the distribution and from n (engines
+    disagree on NULL ordering; the operator must not depend on it)."""
+    rows = [("g", 10), ("g", None), ("g", 20), ("g", None), ("g", 30)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    r = length_quantiles(df).collect()[0]
+    assert r.n_docs == 3
+    assert (r.p25, r.p50, r.p75, r.p95) == (10, 20, 30, 30)
