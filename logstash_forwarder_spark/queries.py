@@ -1514,6 +1514,64 @@ FROM words w LEFT JOIN per USING (doc_id)
 """
 
 
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — 3-way star join: filtered customer dim broadcast
+    into orders, orders shuffle-joined to lineitem on the co-key, top-10
+    unshipped orders by integer-cent revenue. The join mix is the 100 TB
+    plan: small filtered dim → BroadcastHashJoin (no lineitem shuffle for
+    it), big-big orders⋈lineitem → single orderkey exchange; top-k is
+    TakeOrdered, never a global sort. Deterministic tiebreak on orderkey."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("long").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_REVENUE_TOPK = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1573,6 +1631,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
 }
 
 

@@ -60,3 +60,17 @@ def test_last_offset_per_source(spark):
     )
     got = {r.source: r.last_offset for r in last_offset_per_source(df).collect()}
     assert got == {"a": "a-9", "b": "b-2"}
+
+
+def test_revenue_topk_plan_shape(spark):
+    """Q3-shape star join: equi-joins only (no cartesian / nested-loop),
+    the filtered customer dim on a broadcast side, and the top-10 as
+    TakeOrderedAndProject — never a global sort materialization."""
+    from logstash_forwarder_spark.queries import q_revenue_topk
+
+    df = q_revenue_topk(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan

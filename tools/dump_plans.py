@@ -256,6 +256,21 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.queries import q_revenue_topk
+
+    sections.append(
+        (
+            "Star-schema top-k (queries.q_revenue_topk, TPC-H Q3 shape)",
+            "Equi-joins only: the filtered customer dim sits on a "
+            "BroadcastExchange build side; orders-lineitem joins on the "
+            "co-key (SMJ/shuffle-hash at scale, AQE may broadcast at small "
+            "SF); the LIMIT 10 compiles to TakeOrderedAndProject — "
+            "per-partition top-k merged at the driver, never a global Sort "
+            "of the aggregate output.",
+            plan_of(q_revenue_topk(spark, SF_DIR)),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append(
         "Generated by tools/dump_plans.py (re-run after any operator "
