@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "token_quantiles",
     "mixture_weights",
     "span_dedup",
+    "revenue_topk",
 ]
 
 
