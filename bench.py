@@ -135,13 +135,15 @@ def main() -> None:
             continue
         fn, _ = reg[name]
         try:
-            df = fn(spark, sf_dir)
             # min of 2: single samples on this box are routinely 2-5×
-            # inflated by bursty hypervisor CPU steal (see CLAUDE.md)
+            # inflated by bursty hypervisor CPU steal (see CLAUDE.md).
+            # Construction happens INSIDE the timed window: queries that do
+            # eager work at build time (e.g. simhash's localCheckpoint of
+            # the signature pass) must not get it for free.
             samples = []
             for _ in range(2):
                 t0 = time.monotonic()
-                df.write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.monotonic() - t0)
             qtimes[name] = round(min(samples), 3)
         except Exception as e:  # keep the bench line intact on one bad query

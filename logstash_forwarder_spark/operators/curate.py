@@ -162,23 +162,18 @@ def vocab_coverage(
     top = cnt.orderBy(F.desc("cnt"), F.asc("word")).limit(top_k)
     w_rank = W.orderBy(F.desc("cnt"), F.asc("word"))
     w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        top.crossJoin(F.broadcast(total))
-        .select(
-            F.row_number().over(w_rank).cast("long").alias("rank"),
-            "word",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.sum("cnt").over(w_cum).cast("long").alias("cum_cnt"),
-            (F.sum("cnt").over(w_cum) * F.lit(1000000))
-            .cast("long")
-            .alias("_cum_m"),
-            F.col("_total").cast("long").alias("_t"),
-        )
-        .select(
-            "rank",
-            "word",
-            "cnt",
-            "cum_cnt",
-            F.expr("_cum_m DIV _t").cast("long").alias("cum_ppm"),
-        )
+    # cum_ppm in DOUBLE with a final floor: the pure-BIGINT form
+    # (cum * 1e6 DIV total) overflows — ANSI-aborts — past ~9.2e12 total
+    # word occurrences, exactly the corpus scale this operator targets.
+    # Both engines run the identical IEEE op sequence (see mixture_weights).
+    cum = F.sum("cnt").over(w_cum)
+    ppm = F.floor(
+        cum.cast("double") / F.col("_total").cast("double") * F.lit(1000000.0)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        cum.cast("long").alias("cum_cnt"),
+        ppm.cast("long").alias("cum_ppm"),
     )

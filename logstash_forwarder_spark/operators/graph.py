@@ -55,6 +55,10 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the convergence signal rides the SAME join that builds the new
+        # labels (_chg marks rows whose label shrinks) — a separate
+        # new⋈old comparison join would add one shuffle join and one
+        # action per round for information this pass already has
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.node2, "left")
             .select(
@@ -62,17 +66,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = int(new_labels.agg(F.coalesce(F.sum("_chg"), F.lit(0))).first()[0])
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster"))
     raise RuntimeError(

@@ -10,6 +10,8 @@ semantics. Failover becomes Spark task retry + idempotent sink commits
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +28,17 @@ def compile_routes(rules: list[tuple[int, str, str]]) -> Column:
     """
     if not rules:
         raise RouteError("empty route table")
+    for _, _, sink in rules:
+        # sink names become `sink=<name>` partition directories; characters
+        # Hive path-escapes (':', '=', '/', '%', …) would make the on-disk
+        # dir differ from the raw name the commit loop keys by — staged
+        # rows would be committed as empty and swept, a silent
+        # exactly-once violation. Reject at plan-construction time.
+        if not re.fullmatch(r"[A-Za-z0-9_.\-]+", sink):
+            raise RouteError(
+                f"sink name {sink!r} must match [A-Za-z0-9_.-]+ "
+                "(it becomes a partition directory name verbatim)"
+            )
     ordered = sorted(rules, key=lambda r: r[0])
     if ordered[-1][1].strip().lower() != "true":
         raise RouteError("route table must end with a catch-all 'true' rule")

@@ -214,9 +214,15 @@ def _cell_stats_arrow(df: DataFrame, vec_col: str, centroids) -> DataFrame:
             cells = np.argmax((mat / norms) @ cmat.T, axis=1)
             present = np.unique(cells)
             cnt = np.bincount(cells, minlength=len(cmat))[present]
-            sums = np.zeros((len(present), dim), dtype=np.float64)
-            remap = np.searchsorted(present, cells)
-            np.add.at(sums, remap, mat)
+            # per-cell vector sums via sort + cumsum boundary differences:
+            # np.add.at is an unbuffered per-element scatter (the same
+            # pathology as 2-D reduceat, CLAUDE.md) — cumsum over the
+            # cell-sorted matrix hits memory bandwidth instead
+            order = np.argsort(cells, kind="stable")
+            csum = np.cumsum(mat[order], axis=0)
+            ends = np.cumsum(cnt) - 1  # last sorted row index of each cell
+            sums = csum[ends]
+            sums[1:] -= csum[ends[:-1]]
             vsum = pa.ListArray.from_arrays(
                 pa.array(np.arange(len(present) + 1, dtype=np.int64) * dim, pa.int32()),
                 pa.array(sums.reshape(-1), pa.float64()),

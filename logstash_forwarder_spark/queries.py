@@ -1043,8 +1043,12 @@ def _materialize_log_files(sf_dir: str) -> str:
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "text"]
     ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
-    stage = out + ".stage"
-    os.makedirs(stage, exist_ok=True)
+    # per-builder-unique stage dir: two concurrent builders must never
+    # interleave writes into one stage (the rename race below only
+    # resolves WHO publishes, not shared-stage corruption)
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
     for src in pc.unique(tbl["source"]).to_pylist():
         texts = tbl.filter(pc.equal(tbl["source"], src))["text"].to_pylist()
         with open(os.path.join(stage, f"{src}.log"), "wb") as fh:
@@ -1126,7 +1130,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPETITION = r"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  -- coalesce: the Spark kernel fill_nulls text to '' (1 empty word, same
+  -- as split('') on both engines); NULL here would diverge to NULL n_words
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS w
   FROM documents),
 g AS (
   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
@@ -1167,7 +1173,7 @@ top AS (
   FROM cnt QUALIFY rnk <= 100)
 SELECT CAST(rnk AS BIGINT) AS rank, word, CAST(c AS BIGINT) AS cnt,
        CAST(sum(c) OVER (ORDER BY rnk) AS BIGINT) AS cum_cnt,
-       CAST((sum(c) OVER (ORDER BY rnk) * 1000000) // t AS BIGINT) AS cum_ppm
+       CAST(floor(CAST(sum(c) OVER (ORDER BY rnk) AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0) AS BIGINT) AS cum_ppm
 FROM top, tot
 """
 

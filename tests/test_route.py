@@ -42,3 +42,15 @@ def test_route_priority_order_not_list_order(spark):
     rules = [(1, "n_tok > 0", "second"), (0, "n_tok > 1", "first"), (2, "true", "dflt")]
     df = spark.createDataFrame([(5,)], "n_tok int")
     assert route_stage(df, rules).first().sink == "first"
+
+
+def test_route_rejects_path_escaped_sink_names():
+    import pytest
+
+    from logstash_forwarder_spark.operators.route import RouteError, compile_routes
+
+    for bad in ("logs:app", "a=b", "x/y", "p%20q", "sp ace"):
+        with pytest.raises(RouteError, match="partition directory"):
+            compile_routes([(0, "true", bad)])
+    # safe charset is accepted
+    compile_routes([(0, "true", "sink_ok-1.2")])
