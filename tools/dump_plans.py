@@ -271,6 +271,50 @@ def main() -> None:
         )
     )
 
+    # AQE skew-join split: executed (final adaptive) plan, not explain —
+    # the skew markers only exist after runtime stats are in
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    sk_facts = spark.range(400_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("v"),
+    )
+    sk_dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("w")
+    )
+    sk_join = sk_facts.join(sk_dim, "k")
+    sk_join.collect()  # same QueryExecution must run for the final plan
+    sections.append(
+        (
+            "AQE skew-join split (hot routing key, runtime re-plan)",
+            "With 95% of fact rows on one join key, the FINAL adaptive plan "
+            "must show SortMergeJoin(skew=true) fed by an 'AQEShuffleRead "
+            "coalesced and skewed' — the hot partition is split into "
+            "advisory-sized reads at runtime, no salting needed on the join "
+            "path (salting remains the groupBy-side tool, see the salted "
+            "aggregate section). Thresholds are lowered here to reproduce "
+            "at demo scale; production defaults (256MB) trigger at real "
+            "skew sizes.",
+            sk_join._jdf.queryExecution().executedPlan().toString(),
+        )
+    )
+    for c in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        spark.conf.unset(c)
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append(
         "Generated by tools/dump_plans.py (re-run after any operator "
