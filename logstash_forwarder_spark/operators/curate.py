@@ -150,9 +150,11 @@ def vocab_coverage(
     (rank, word, cnt, cum_cnt, cum_ppm) — the frequency table behind
     vocab-cutoff decisions. Counts are a distributed hash-agg; the
     top-k is a TakeOrdered (no global sort materialization); the rank /
-    cumulative window then runs over only k rows. ``cum_ppm`` is pure
-    integer math (``cum*1000000 DIV total``) so it hashes identically
-    across engines. Ties break on the word itself, deterministically.
+    cumulative window then runs over only k rows. ``cum_ppm`` is
+    ``floor(cum / total * 1e6)`` in DOUBLE — the identical IEEE op
+    sequence on both engines, chosen over BIGINT fixed point because
+    ``cum * 1e6`` overflows past ~9.2e12 total occurrences. Ties break
+    on the word itself, deterministically.
     """
     words = df.select(
         F.explode(F.split(_norm(F.col(text_col)), " ")).alias("word")

@@ -243,6 +243,8 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if n < 1:
+        raise ValueError(f"shingle size n must be >= 1, got {n}")
     col = batch.column(batch.schema.get_field_index(text_name))
     txt = pc.fill_null(col, "")
     txt = pc.utf8_lower(pc.utf8_trim(pc.replace_substring_regex(txt, r"\s+", " "), " "))

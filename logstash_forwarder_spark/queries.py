@@ -1035,8 +1035,19 @@ def _materialize_log_files(sf_dir: str) -> str:
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     import shutil
+    import uuid as _uuid
 
-    shutil.rmtree(out, ignore_errors=True)  # half-built dir from a crash
+    # NEVER rmtree(out): a concurrent builder may have published between
+    # the _SUCCESS check and here, and deleting a complete dir another
+    # driver is already globbing is the worse failure. Publication is an
+    # atomic rename of a complete stage (always contains _SUCCESS), so an
+    # out dir without _SUCCESS can only be foreign debris — move it aside.
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out  # a concurrent builder published meanwhile
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -1200,7 +1211,8 @@ WITH d AS (
   SELECT source,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
   FROM documents),
-h AS (SELECT source, n_tok, count(*) AS cnt FROM d GROUP BY source, n_tok),
+h AS (SELECT source, n_tok, count(*) AS cnt FROM d
+      WHERE n_tok IS NOT NULL GROUP BY source, n_tok),
 c AS (SELECT source, n_tok,
              sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
              sum(cnt) OVER (PARTITION BY source) AS n

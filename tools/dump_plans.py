@@ -307,6 +307,7 @@ def main() -> None:
         )
     )
     for c in (
+        "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
