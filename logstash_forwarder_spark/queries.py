@@ -1590,6 +1590,60 @@ LIMIT 10
 """
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection — the monitoring query a log pipeline
+    runs over its own flow: per (event_type, hour) counts flagged when the
+    hour runs ≥ 1.5× its trailing-6h mean (integer-exact:
+    ``count * 6 * 2 >= 3 * trailing_sum`` avoids float entirely; hours
+    with an incomplete 6h history are reported unflagged).
+
+    Scale shape: the window runs over the HOURLY AGGREGATE (one row per
+    type×hour — tiny at any corpus scale), partitioned by event_type —
+    never over raw events; one shuffle for the count, one re-key of the
+    aggregate for the window."""
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-6, -1)
+    )
+    trailing_sum = F.sum("n_events").over(w)
+    trailing_n = F.count("n_events").over(w)
+    spike = (
+        (trailing_n == 6)
+        & (F.col("n_events") * 6 * 2 >= 3 * trailing_sum)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.coalesce(trailing_sum, F.lit(0)).cast("long").alias("trailing_sum"),
+        spike.cast("long").alias("spike"),
+    )
+
+
+SQL_RATE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+       CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
+       CAST(CASE WHEN count(n_events) OVER w = 6
+                  AND n_events * 6 * 2 >= 3 * sum(n_events) OVER w
+                 THEN 1 ELSE 0 END AS BIGINT) AS spike
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1650,6 +1704,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
+    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
 }
 
 

@@ -74,3 +74,32 @@ def test_revenue_topk_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_rate_anomaly_planted_spike(spark, tmp_path):
+    """A 10x burst hour after 6 quiet hours must flag spike=1; quiet hours
+    and hours with incomplete trailing history must not."""
+    import datetime
+
+    from logstash_forwarder_spark.queries import q_rate_anomaly
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for h in range(8):
+        n = 100 if h == 7 else 10  # burst in the 8th hour
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=h), 1, "login", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r.hour: r for r in q_rate_anomaly(spark, sf).collect()}
+    assert out["2024-01-01 07"].spike == 1
+    assert out["2024-01-01 07"].trailing_sum == 60
+    # quiet full-history hour: not a spike
+    assert out["2024-01-01 06"].spike == 0
+    # first hours lack 6h history: never flagged
+    assert all(out[f"2024-01-01 0{h}"].spike == 0 for h in range(6))
