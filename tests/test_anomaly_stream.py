@@ -1,0 +1,82 @@
+"""Streaming spike detector: the stateful stream's FINAL flags must equal
+the batch rate_anomaly query on the same events (batch/stream equality,
+the dedup_stream pattern), with state accumulating across micro-batches."""
+
+from __future__ import annotations
+
+import datetime
+
+from logstash_forwarder_spark.streaming.anomaly import spike_stream
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(h0, hours_counts, eid0=0):
+    rows, eid = [], eid0
+    for h, n in hours_counts:
+        for _ in range(n):
+            rows.append(
+                (eid, h0 + datetime.timedelta(hours=h), 1, "login", 1.0, "{}")
+            )
+            eid += 1
+    return rows
+
+
+def test_stream_flags_match_batch(spark, tmp_path):
+    from logstash_forwarder_spark.queries import q_rate_anomaly
+
+    h0 = datetime.datetime(2024, 3, 1)
+    # batch 1: six quiet hours; batch 2: a quiet hour then a 10x burst
+    b1 = _events(h0, [(h, 10) for h in range(6)])
+    b2 = _events(h0, [(6, 10), (7, 100)], eid0=len(b1))
+
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(b2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        spike_stream(stream)
+        .writeStream.format("memory")
+        .queryName("spikes")
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # latest emission per (event_type, hour): over append-ordered batches
+    # counts only grow, so max(n_events) picks the final state
+    got = {
+        (r.event_type, r.hour): (r.n_events, r.trailing_sum, r.spike)
+        for r in spark.sql(
+            """SELECT event_type, hour,
+                      max_by(n_events, n_events) AS n_events,
+                      max_by(trailing_sum, n_events) AS trailing_sum,
+                      max_by(spike, n_events) AS spike
+               FROM spikes GROUP BY event_type, hour"""
+        ).collect()
+    }
+
+    sf = str(tmp_path / "batchsf")
+    spark.createDataFrame(b1 + b2, EVENTS_SCHEMA).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    want = {
+        (r.event_type, r.hour): (r.n_events, r.trailing_sum, r.spike)
+        for r in q_rate_anomaly(spark, sf).collect()
+    }
+    assert got == want
+    burst = ("login", "2024-03-01 07")
+    assert got[burst][2] == 1  # the planted burst is flagged in-stream
