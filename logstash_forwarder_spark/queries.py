@@ -1644,6 +1644,101 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 
 """
 
 
+def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation audit ledger — one row per doc with every removal
+    rule's verdict (the provenance artifact a corpus pipeline ships so
+    'why was this doc dropped?' is answerable): f_bench (eval-split
+    member), f_dup (not its fingerprint group's min-id keeper), f_contam
+    (non-bench doc sharing a 3-gram with the bench split), f_rep
+    (duplicate-3-gram fraction > 5%, strict audit threshold), f_short
+    (< 16 words), keep (no flag set).
+
+    Composition of already-oracle-verified pieces: fingerprint keeper =
+    one hash-agg shuffle; contamination = broadcast bench shingle set
+    (map-side corpus scan); repetition/word counts row-local in the Arrow
+    kernel; final assembly = doc_id-keyed left joins of doc_id-only
+    relations."""
+    from .operators.curate import contamination_report, repetition_stats
+    from .operators.dedup import _norm
+
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", F.md5(_norm(F.col("text"))).alias("_fp"))
+    keepers = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    dup = fp.join(keepers, "_fp").select(
+        "doc_id", (F.col("doc_id") != F.col("_keeper")).cast("long").alias("f_dup")
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    contam = contamination_report(corpus, bench).select(
+        "doc_id", F.lit(1).cast("long").alias("f_contam")
+    )
+    rep = repetition_stats(d, max_dup_pct=5).select(
+        "doc_id",
+        (F.lit(1) - F.col("keep")).cast("long").alias("f_rep"),
+        (F.col("n_words") < 16).cast("long").alias("f_short"),
+    )
+    out = (
+        d.select("doc_id", (F.col("doc_id") % 97 == 0).cast("long").alias("f_bench"))
+        .join(dup, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(rep, "doc_id")
+        .withColumn("f_contam", F.coalesce("f_contam", F.lit(0)))
+    )
+    keep = (
+        (F.col("f_bench") == 0)
+        & (F.col("f_dup") == 0)
+        & (F.col("f_contam") == 0)
+        & (F.col("f_rep") == 0)
+        & (F.col("f_short") == 0)
+    )
+    return out.select(
+        "doc_id", "f_bench", "f_dup", "f_contam", "f_rep", "f_short",
+        keep.cast("long").alias("keep"),
+    )
+
+
+SQL_CURATION_LEDGER = r"""
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents),
+keepers AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY f),
+words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench_sh USING (shingle)
+  WHERE s.doc_id % 97 <> 0),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+st AS (SELECT doc_id, count(*) AS tg, count(DISTINCT gram) AS dg FROM g GROUP BY doc_id)
+SELECT wo.doc_id,
+       CAST(CASE WHEN wo.doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS f_bench,
+       CAST(CASE WHEN wo.doc_id <> keepers.k THEN 1 ELSE 0 END AS BIGINT) AS f_dup,
+       CAST(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS f_contam,
+       CAST(CASE WHEN (coalesce(st.tg, 0) - coalesce(st.dg, 0)) * 100
+                      > 5 * coalesce(st.tg, 0) THEN 1 ELSE 0 END AS BIGINT) AS f_rep,
+       CAST(CASE WHEN len(wo.w) < 16 THEN 1 ELSE 0 END AS BIGINT) AS f_short,
+       CAST(CASE WHEN wo.doc_id % 97 <> 0 AND wo.doc_id = keepers.k
+                  AND contam.doc_id IS NULL
+                  AND (coalesce(st.tg, 0) - coalesce(st.dg, 0)) * 100 <= 5 * coalesce(st.tg, 0)
+                  AND len(wo.w) >= 16
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM words wo
+JOIN fp ON fp.doc_id = wo.doc_id
+JOIN keepers ON keepers.f = fp.f
+LEFT JOIN contam ON contam.doc_id = wo.doc_id
+LEFT JOIN st ON st.doc_id = wo.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -1705,6 +1800,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
+    "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
 }
 
 

@@ -145,3 +145,34 @@ def test_vocab_coverage_exact(spark):
     ]
     # 8 total occurrences → integer ppm floors
     assert [r.cum_ppm for r in got] == [375000, 750000, 875000]
+
+
+def test_curation_ledger_planted_flags(spark, tmp_path):
+    """Every ledger rule fires on a planted corpus: bench membership,
+    dup loser, contamination, repetition, shortness, and a clean keeper."""
+    from logstash_forwarder_spark.queries import q_curation_ledger
+
+    clean = " ".join(f"w{i}" for i in range(20))
+    dup_text = " ".join(f"d{i}" for i in range(25))
+    rows = [
+        (97, "alpha beta gamma delta " + " ".join(f"b{i}" for i in range(16)), "en", "s", 1),  # bench
+        (1, "alpha beta gamma " + " ".join(f"c{i}" for i in range(16)), "en", "s", 1),  # contaminated
+        (2, dup_text, "en", "s", 1),   # keeper
+        (3, dup_text, "en", "s", 1),   # dup loser
+        (4, "x y " * 20, "en", "s", 1),  # repetitive (one distinct 3-gram pattern)
+        (5, "one two three", "en", "s", 1),  # short
+        (6, clean, "en", "s", 1),      # clean keeper
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in q_curation_ledger(spark, sf).collect()}
+    assert out[97].f_bench == 1 and out[97].keep == 0
+    assert out[1].f_contam == 1 and out[1].keep == 0
+    assert out[2].f_dup == 0
+    assert out[3].f_dup == 1 and out[3].keep == 0
+    assert out[4].f_rep == 1 and out[4].keep == 0
+    assert out[5].f_short == 1 and out[5].keep == 0
+    assert out[6] == (6, 0, 0, 0, 0, 0, 1)
