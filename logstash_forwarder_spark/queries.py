@@ -1593,9 +1593,13 @@ LIMIT 10
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate spike detection — the monitoring query a log pipeline
     runs over its own flow: per (event_type, hour) counts flagged when the
-    hour runs ≥ 1.5× its trailing-6h mean (integer-exact:
-    ``count * 6 * 2 >= 3 * trailing_sum`` avoids float entirely; hours
-    with an incomplete 6h history are reported unflagged).
+    hour runs ≥ 1.5× the mean of its six most recent OBSERVED hours
+    (ROWS frame — deliberately rate-vs-recent-activity, robust to silent
+    hours: a gap compares against the last activity, not empty wall-clock
+    hours). Integer-exact: ``count * 6 * 2 >= 3 * trailing_sum`` avoids
+    float entirely; hours with fewer than six observed predecessors are
+    reported unflagged. streaming/anomaly.py is the live twin with the
+    same rule.
 
     Scale shape: the window runs over the HOURLY AGGREGATE (one row per
     type×hour — tiny at any corpus scale), partitioned by event_type —
@@ -1653,24 +1657,39 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-3-gram fraction > 5%, strict audit threshold), f_short
     (< 16 words), keep (no flag set).
 
-    Composition of already-oracle-verified pieces: fingerprint keeper =
-    one hash-agg shuffle; contamination = broadcast bench shingle set
-    (map-side corpus scan); repetition/word counts row-local in the Arrow
-    kernel; final assembly = doc_id-keyed left joins of doc_id-only
-    relations."""
-    from .operators.curate import contamination_report, repetition_stats
-    from .operators.dedup import _norm
+    Composition of already-oracle-verified pieces, ONE shingle-kernel
+    pass: the distinct (doc, gram-hash) relation is computed once and
+    split by bench membership for the contamination join (broadcast
+    bench side); fingerprint keeper = one hash-agg shuffle;
+    repetition/word counts row-local in a second (counting) kernel pass;
+    final assembly = doc_id-keyed left joins of doc_id-only relations.
+    NULL text folds to the '' fingerprint/word group (coalesce on both
+    engines) so the ledger keeps its one-row-per-doc contract for
+    exactly the docs most likely to be dropped."""
+    from .operators.curate import repetition_stats
+    from .operators.dedup import _norm, shingle_hash_relation
 
     d = _docs(spark, sf_dir)
-    fp = d.select("doc_id", F.md5(_norm(F.col("text"))).alias("_fp"))
-    keepers = fp.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
-    dup = fp.join(keepers, "_fp").select(
-        "doc_id", (F.col("doc_id") != F.col("_keeper")).cast("long").alias("f_dup")
+    is_bench = F.col("doc_id") % 97 == 0
+    base = d.select(
+        "doc_id",
+        is_bench.cast("long").alias("f_bench"),
+        F.md5(_norm(F.coalesce(F.col("text"), F.lit("")))).alias("_fp"),
     )
-    bench = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = d.filter(F.col("doc_id") % 97 != 0)
-    contam = contamination_report(corpus, bench).select(
-        "doc_id", F.lit(1).cast("long").alias("f_contam")
+    keepers = base.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    dup = base.join(keepers, "_fp").select(
+        "doc_id",
+        "f_bench",
+        (F.col("doc_id") != F.col("_keeper")).cast("long").alias("f_dup"),
+    )
+    rel = shingle_hash_relation(d)  # one kernel pass, both splits below
+    bench_sh = rel.filter(is_bench).select("sh").distinct()
+    contam = (
+        rel.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).cast("long").alias("f_contam"))
     )
     rep = repetition_stats(d, max_dup_pct=5).select(
         "doc_id",
@@ -1678,8 +1697,7 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") < 16).cast("long").alias("f_short"),
     )
     out = (
-        d.select("doc_id", (F.col("doc_id") % 97 == 0).cast("long").alias("f_bench"))
-        .join(dup, "doc_id")
+        dup
         .join(contam, "doc_id", "left")
         .join(rep, "doc_id")
         .withColumn("f_contam", F.coalesce("f_contam", F.lit(0)))
@@ -1699,7 +1717,7 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CURATION_LEDGER = r"""
 WITH fp AS (
-  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  SELECT doc_id, md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS f
   FROM documents),
 keepers AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY f),
 words AS (

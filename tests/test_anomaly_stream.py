@@ -1,12 +1,12 @@
-"""Streaming spike detector: the stateful stream's FINAL flags must equal
-the batch rate_anomaly query on the same events (batch/stream equality,
-the dedup_stream pattern), with state accumulating across micro-batches."""
+"""Streaming spike detector: final stream flags must equal the batch
+rate_anomaly query on the same events ACROSS the state-pruning boundary
+(>_KEEP distinct hours), with state accumulating over micro-batches."""
 
 from __future__ import annotations
 
 import datetime
 
-from logstash_forwarder_spark.streaming.anomaly import spike_stream
+from logstash_forwarder_spark.streaming.anomaly import _KEEP, spike_stream
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -25,20 +25,22 @@ def _events(h0, hours_counts, eid0=0):
     return rows
 
 
-def test_stream_flags_match_batch(spark, tmp_path):
+def test_stream_flags_match_batch_across_pruning(spark, tmp_path):
     from logstash_forwarder_spark.queries import q_rate_anomaly
 
     h0 = datetime.datetime(2024, 3, 1)
-    # batch 1: six quiet hours; batch 2: a quiet hour then a 10x burst
+    # 11 distinct hours (> _KEEP = 8): quiet 0-6, 10x burst at 7,
+    # then quiet 8-10 — the post-burst batches cross the pruning boundary
+    assert 11 > _KEEP
     b1 = _events(h0, [(h, 10) for h in range(6)])
     b2 = _events(h0, [(6, 10), (7, 100)], eid0=len(b1))
+    b3 = _events(h0, [(8, 10), (9, 10), (10, 10)], eid0=len(b1) + len(b2))
 
     in_dir = str(tmp_path / "in")
     ck = str(tmp_path / "ck")
-    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.parquet(in_dir)
-    spark.createDataFrame(b2, EVENTS_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
+    for i, b in enumerate((b1, b2, b3)):
+        w = spark.createDataFrame(b, EVENTS_SCHEMA).coalesce(1).write
+        (w if i == 0 else w.mode("append")).parquet(in_dir)
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -54,10 +56,10 @@ def test_stream_flags_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "stream timed out"
 
-    # latest emission per (event_type, hour): over append-ordered batches
-    # counts only grow, so max(n_events) picks the final state
+    # only touched hours emit, and a re-touched hour emits with strictly
+    # more events — max_by(n_events) is the deterministic latest
     got = {
         (r.event_type, r.hour): (r.n_events, r.trailing_sum, r.spike)
         for r in spark.sql(
@@ -70,7 +72,7 @@ def test_stream_flags_match_batch(spark, tmp_path):
     }
 
     sf = str(tmp_path / "batchsf")
-    spark.createDataFrame(b1 + b2, EVENTS_SCHEMA).write.parquet(
+    spark.createDataFrame(b1 + b2 + b3, EVENTS_SCHEMA).write.parquet(
         f"{sf}/events.parquet"
     )
     want = {
@@ -79,4 +81,6 @@ def test_stream_flags_match_batch(spark, tmp_path):
     }
     assert got == want
     burst = ("login", "2024-03-01 07")
-    assert got[burst][2] == 1  # the planted burst is flagged in-stream
+    assert got[burst][2] == 1  # the planted burst stays flagged
+    # post-burst hours see the burst in their trailing window: no flags
+    assert all(got[("login", f"2024-03-01 {h:02d}")][2] == 0 for h in (8, 9, 10))
