@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "mixture_weights",
     "span_dedup",
     "revenue_topk",
+    "rate_anomaly",
+    "curation_ledger",
 ]
 
 
