@@ -1657,15 +1657,25 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate-3-gram fraction > 5%, strict audit threshold), f_short
     (< 16 words), keep (no flag set).
 
-    Composition of already-oracle-verified pieces, ONE shingle-kernel
-    pass: the distinct (doc, gram-hash) relation is computed once and
-    split by bench membership for the contamination join (broadcast
-    bench side); fingerprint keeper = one hash-agg shuffle;
-    repetition/word counts row-local in a second (counting) kernel pass;
+    Composition of already-oracle-verified pieces: ONE logical
+    shingle relation split by bench membership for the contamination
+    join (broadcast bench side); fingerprint keeper = one hash-agg
+    shuffle; repetition/word counts row-local in the counting kernel;
     final assembly = doc_id-keyed left joins of doc_id-only relations.
-    NULL text folds to the '' fingerprint/word group (coalesce on both
-    engines) so the ledger keeps its one-row-per-doc contract for
-    exactly the docs most likely to be dropped."""
+    Spark recomputes a DataFrame per DAG branch, so WITHOUT
+    materialization the shingle kernel physically runs once per split —
+    pass ``materialize=True`` (production setting: localCheckpoint the
+    relation) to pin it to one pass; the default stays lazy because the
+    sf0.01 gate is cheaper re-run than stored. NULL text folds to the
+    '' fingerprint/word group (coalesce on both engines) so the ledger
+    keeps its one-row-per-doc contract for exactly the docs most likely
+    to be dropped."""
+    return _curation_ledger(spark, sf_dir, materialize=False)
+
+
+def _curation_ledger(
+    spark: SparkSession, sf_dir: str, materialize: bool
+) -> DataFrame:
     from .operators.curate import repetition_stats
     from .operators.dedup import _norm, shingle_hash_relation
 
@@ -1682,7 +1692,9 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_bench",
         (F.col("doc_id") != F.col("_keeper")).cast("long").alias("f_dup"),
     )
-    rel = shingle_hash_relation(d)  # one kernel pass, both splits below
+    rel = shingle_hash_relation(d)  # one logical relation, both splits below
+    if materialize:
+        rel = rel.localCheckpoint(eager=True)
     bench_sh = rel.filter(is_bench).select("sh").distinct()
     contam = (
         rel.filter(~is_bench)

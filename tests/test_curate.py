@@ -176,3 +176,18 @@ def test_curation_ledger_planted_flags(spark, tmp_path):
     assert out[4].f_rep == 1 and out[4].keep == 0
     assert out[5].f_short == 1 and out[5].keep == 0
     assert out[6] == (6, 0, 0, 0, 0, 0, 1)
+
+
+def test_curation_ledger_materialized_single_kernel_pass(spark):
+    """materialize=True pins the shingle relation to ONE physical kernel
+    pass (plus the counting kernel): MapInArrow count drops from the
+    per-branch recomputation, rows unchanged."""
+    from logstash_forwarder_spark.queries import _curation_ledger, q_curation_ledger
+
+    sf = "/root/testdata/sf0.001"
+    lazy = q_curation_ledger(spark, sf)
+    mat = _curation_ledger(spark, sf, materialize=True)
+    mat.collect()
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 2  # shingle kernel once + counting kernel
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, mat.collect()))
