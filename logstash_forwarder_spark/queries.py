@@ -1648,7 +1648,9 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 
 """
 
 
-def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curation_ledger(
+    spark: SparkSession, sf_dir: str, *, materialize: bool = False
+) -> DataFrame:
     """The curation audit ledger — one row per doc with every removal
     rule's verdict (the provenance artifact a corpus pipeline ships so
     'why was this doc dropped?' is answerable): f_bench (eval-split
@@ -1670,12 +1672,6 @@ def q_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     '' fingerprint/word group (coalesce on both engines) so the ledger
     keeps its one-row-per-doc contract for exactly the docs most likely
     to be dropped."""
-    return _curation_ledger(spark, sf_dir, materialize=False)
-
-
-def _curation_ledger(
-    spark: SparkSession, sf_dir: str, materialize: bool
-) -> DataFrame:
     from .operators.curate import repetition_stats
     from .operators.dedup import _norm, shingle_hash_relation
 

@@ -1,9 +1,12 @@
 """Watermarked stream-stream join — event attribution over the live flow.
 
-The log-pipeline shape: match each action event (e.g. ``purchase``) to the
-same user's most recent trigger event (e.g. ``login``) within a time
-bound, as both arrive on the stream. Structured Streaming's stream-stream
-inner join with watermarks on BOTH sides + a time-interval join condition
+The log-pipeline shape: match each action event (e.g. ``purchase``) to
+EVERY trigger event (e.g. ``login``) of the same user within a time
+bound, as both arrive on the stream — one output row per (trigger,
+action) pair; collapsing to the most recent trigger is a downstream
+``groupBy(action).agg(max_by(...))`` over this append stream.
+Structured Streaming's stream-stream inner join with watermarks on BOTH
+sides + a time-interval join condition
 keeps state bounded: each side buffers only rows younger than its
 watermark, and the interval condition lets the engine evict trigger rows
 older than ``within`` from the join state (the state-cleanup contract the

@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture()
 def tmp_out(tmp_path):
     return str(tmp_path / "out")
+
+
+# events table schema shared by the streaming/aggregate tests
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)

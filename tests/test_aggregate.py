@@ -91,9 +91,9 @@ def test_rate_anomaly_planted_spike(spark, tmp_path):
         for _ in range(n):
             rows.append((eid, base + datetime.timedelta(hours=h), 1, "login", 1.0, "{}"))
             eid += 1
-    df = spark.createDataFrame(
-        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
+    from .conftest import EVENTS_SCHEMA
+
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
     sf = str(tmp_path)
     df.write.parquet(f"{sf}/events.parquet")
     out = {r.hour: r for r in q_rate_anomaly(spark, sf).collect()}

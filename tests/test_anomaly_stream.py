@@ -8,10 +8,7 @@ import datetime
 
 from logstash_forwarder_spark.streaming.anomaly import _KEEP, spike_stream
 
-EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
+from .conftest import EVENTS_SCHEMA
 
 
 def _events(h0, hours_counts, eid0=0):

@@ -179,15 +179,26 @@ def test_curation_ledger_planted_flags(spark, tmp_path):
 
 
 def test_curation_ledger_materialized_single_kernel_pass(spark):
-    """materialize=True pins the shingle relation to ONE physical kernel
-    pass (plus the counting kernel): MapInArrow count drops from the
-    per-branch recomputation, rows unchanged."""
-    from logstash_forwarder_spark.queries import _curation_ledger, q_curation_ledger
+    """materialize=True removes the shingle kernel from the query plan
+    entirely (it ran once at localCheckpoint time; branches read the
+    checkpointed RDD); lazily the kernel reappears per DAG branch."""
+    from logstash_forwarder_spark.queries import q_curation_ledger
 
     sf = "/root/testdata/sf0.001"
     lazy = q_curation_ledger(spark, sf)
-    mat = _curation_ledger(spark, sf, materialize=True)
-    mat.collect()
-    plan = mat._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInArrow") == 2  # shingle kernel once + counting kernel
-    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, mat.collect()))
+    mat = q_curation_ledger(spark, sf, materialize=True)
+    rows = mat.collect()
+
+    def shingle_kernels(df):
+        # the shingle kernel is the MapInArrow whose output is [..., sh#..];
+        # signature-based counting is immune to AQE printing each subtree's
+        # plan twice (Final + Initial sections)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            l for l in plan.splitlines() if "MapInArrow" in l and " sh#" in l
+        ]
+
+    assert shingle_kernels(mat) == []  # ran once at checkpoint time, gone from the plan
+    lazy.collect()
+    assert len(shingle_kernels(lazy)) > 0  # lazy recomputes it per DAG branch
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, rows))

@@ -9,10 +9,7 @@ from pyspark.sql import functions as F
 
 from logstash_forwarder_spark.streaming.join_stream import attribution_join
 
-EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
+from .conftest import EVENTS_SCHEMA
 
 
 def test_attribution_join_matches_batch(spark, tmp_path):
