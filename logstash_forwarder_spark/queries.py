@@ -1399,34 +1399,34 @@ def _portable_shingles():
     ).otherwise(F.array().cast("array<string>"))
 
 
+MINHASH_P = 1073741789  # prime < 2^30: a*h + b stays < 2^60 (BIGINT-safe)
+# fixed (a, b) per permutation — small odd multipliers, engine-portable
+MINHASH_PERMS = [
+    (389, 104729), (761, 95819), (1223, 88643), (1543, 71993),
+    (2029, 64763), (2467, 51787), (3163, 39119), (3571, 27397),
+]
+
+
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-portable MinHash witness: 8-permutation signature matrix with
-    md5-derived hashes (h_p(s) = first 15 hex digits of md5(p ':' s)), so
-    DuckDB reproduces every signature bit-exactly — closing the
-    'rows-only' gap of the fast kernel path (`minhash_lsh`), whose xxhash
-    family is engine-specific by design.
+    """Engine-portable MinHash witness: 8-permutation signature matrix.
+    Universal-hashing form: ONE md5 per shingle (h = first 15 hex digits
+    mod P) and 8 affine permutations h_p = (a_p * h + b_p) mod P over the
+    prime P = 1073741789 < 2^30 (products stay < 2^60, BIGINT-safe in any
+    engine) — so DuckDB reproduces every signature bit-exactly, closing
+    the 'rows-only' gap of the fast kernel path (`minhash_lsh`), whose
+    xxhash family is engine-specific by design.
 
-    Spark computes each signature ROW-LOCALLY — shingle array + per-
-    permutation transform/array_min inside the scan projection, zero
-    shuffle — while the oracle uses an explode + GROUP BY min: two
-    opposite physical strategies, identical values. Higher-order
-    functions are interpreted (slow; CLAUDE.md) — acceptable for a
-    correctness witness; the production path stays in the Arrow kernel."""
-    d = _docs(spark, sf_dir)
-    base = d.select("doc_id", _portable_shingles().alias("_sh"))
+    Spark computes the signatures ROW-LOCALLY in one mapInPandas kernel
+    (operators/dedup.py portable_sketches — zero shuffle, partitioning
+    preserved) while the oracle uses an explode + GROUP BY min: two
+    opposite physical strategies, identical values. The same math as a
+    pure expression tree (8 transform/array_min HOF folds) produced the
+    same values ~10x slower — HOFs are interpreted (CLAUDE.md)."""
+    from .operators.dedup import portable_sketches
 
-    def hash_perm(p: int):
-        # one-arg lambda: a two-arg lambda would be the (element, index)
-        # form of transform and p would silently become the array index
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{p}:"), s)), 1, 15), 16, 10
-        ).cast("long")
-
-    sigs = [
-        F.array_min(F.transform(F.col("_sh"), hash_perm(p))).alias(f"sig{p}")
-        for p in range(8)
-    ]
-    return base.select("doc_id", *sigs)
+    return portable_sketches(
+        _docs(spark, sf_dir), minhash_p=MINHASH_P, minhash_perms=MINHASH_PERMS
+    ).select("doc_id", *[f"sig{p}" for p in range(8)])
 
 
 SQL_MINHASH_PORTABLE = r"""
@@ -1438,17 +1438,21 @@ sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
   WHERE len(w) >= 3),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1073741789 AS h
+  FROM sh),
 sig AS (
   SELECT doc_id,
-         min(('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT) AS sig0,
-         min(('0x' || substr(md5('1:' || shingle), 1, 15))::BIGINT) AS sig1,
-         min(('0x' || substr(md5('2:' || shingle), 1, 15))::BIGINT) AS sig2,
-         min(('0x' || substr(md5('3:' || shingle), 1, 15))::BIGINT) AS sig3,
-         min(('0x' || substr(md5('4:' || shingle), 1, 15))::BIGINT) AS sig4,
-         min(('0x' || substr(md5('5:' || shingle), 1, 15))::BIGINT) AS sig5,
-         min(('0x' || substr(md5('6:' || shingle), 1, 15))::BIGINT) AS sig6,
-         min(('0x' || substr(md5('7:' || shingle), 1, 15))::BIGINT) AS sig7
-  FROM sh GROUP BY doc_id)
+         min((h * 389 + 104729) % 1073741789) AS sig0,
+         min((h * 761 + 95819) % 1073741789) AS sig1,
+         min((h * 1223 + 88643) % 1073741789) AS sig2,
+         min((h * 1543 + 71993) % 1073741789) AS sig3,
+         min((h * 2029 + 64763) % 1073741789) AS sig4,
+         min((h * 2467 + 51787) % 1073741789) AS sig5,
+         min((h * 3163 + 39119) % 1073741789) AS sig6,
+         min((h * 3571 + 27397) % 1073741789) AS sig7
+  FROM h GROUP BY doc_id)
 SELECT w.doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7
 FROM words w LEFT JOIN sig USING (doc_id)
 """
@@ -1458,23 +1462,16 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable SimHash witness: 32-bit signature from md5-derived
     shingle hashes — bit b is set iff at least half the doc's distinct
     shingles have bit b set (2*cnt_b >= n, ties up on both engines).
-    Row-local in Spark (one transform builds the hash array, 32
-    size(filter(...)) folds — interpreted HOFs, fine for a witness);
-    the oracle is an explode + GROUP BY with 32 conditional sums.
-    Complements `simhash` (fast Arrow-kernel path, engine-specific)."""
-    d = _docs(spark, sf_dir)
-    hs = F.transform(
-        _portable_shingles(),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    base = d.select("doc_id", hs.alias("_hs"))
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * size(filter(_hs, x -> (shiftright(x, {b}) % 2) = 1)) "
-        f">= size(_hs) THEN {1 << b}L ELSE 0L END)"
-        for b in range(32)
-    )
-    sig = F.when(F.size("_hs") > 0, F.expr(bit_terms)).cast("long")
-    return base.select("doc_id", sig.alias("simhash32"))
+    Spark side = the portable_sketches mapInPandas kernel (row-local,
+    zero shuffle; the 32-HOF-filter expression formulation computed the
+    same values ~10x slower); the oracle is an explode + GROUP BY with
+    32 conditional sums. Complements `simhash` (fast Arrow-kernel path,
+    engine-specific)."""
+    from .operators.dedup import portable_sketches
+
+    return portable_sketches(
+        _docs(spark, sf_dir), minhash_p=MINHASH_P, minhash_perms=MINHASH_PERMS
+    ).select("doc_id", "simhash32")
 
 
 _SIMHASH_BITS_SQL = " + ".join(

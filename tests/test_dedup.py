@@ -266,13 +266,18 @@ def test_minhash_portable_matches_hashlib(spark, tmp_path):
     df.write.parquet(f"{sf}/documents.parquet")
     out = {r.doc_id: r for r in q_minhash_portable(spark, sf).collect()}
 
+    from logstash_forwarder_spark.queries import MINHASH_P, MINHASH_PERMS
+
     def naive(text, p):
         w = text.lower().split()
         sh = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
         if not sh:
             return None
+        a, b = MINHASH_PERMS[p]
         return min(
-            int(hashlib.md5(f"{p}:{s}".encode()).hexdigest()[:15], 16) for s in sh
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P * a + b)
+            % MINHASH_P
+            for s in sh
         )
 
     for doc_id, text, _ in docs:
