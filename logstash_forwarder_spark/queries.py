@@ -1377,28 +1377,6 @@ WHERE levenshtein(a.t, c.t) <= 70
 """
 
 
-def _portable_shingles():
-    """Normalized distinct word-3-gram array, all built-ins — the shared
-    shingle construction of the portable sketch witnesses (mirrors the
-    words/sh CTEs of their oracles). The explicit empty-array branch
-    guards the sequence(1, 0)-descends quirk (CLAUDE.md)."""
-    w = F.split(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
-    return F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i),
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 MINHASH_P = 1073741789  # prime < 2^30: a*h + b stays < 2^60 (BIGINT-safe)
 # fixed (a, b) per permutation — small odd multipliers, engine-portable
 MINHASH_PERMS = [
