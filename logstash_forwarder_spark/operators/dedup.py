@@ -699,7 +699,7 @@ def portable_sketches(
     def op(batches):
         for pdf in batches:
             out = {
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 **{f"sig{p}": [] for p in range(n_perms)},
                 "simhash32": [],
             }

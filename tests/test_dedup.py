@@ -372,3 +372,19 @@ def test_mix_n_equals_mix3():
     wh = rng.integers(0, 2**63, size=30, dtype=np.uint64)
     pos = np.arange(0, 28, dtype=np.int64)
     assert (_mix_n(wh, pos, 3, 42) == _mix3(wh[pos], wh[pos + 1], wh[pos + 2], 42)).all()
+
+
+def test_portable_sketches_custom_id_col(spark):
+    from logstash_forwarder_spark.operators.dedup import portable_sketches
+    from logstash_forwarder_spark.queries import MINHASH_P, MINHASH_PERMS
+
+    df = spark.createDataFrame(
+        [("k1", "a b c d e"), ("k2", "x")], "key string, body string"
+    )
+    out = portable_sketches(
+        df, id_col="key", text_col="body",
+        minhash_p=MINHASH_P, minhash_perms=MINHASH_PERMS,
+    ).collect()
+    got = {r.key: r for r in out}
+    assert got["k1"].sig0 is not None and got["k1"].simhash32 is not None
+    assert got["k2"].sig0 is None  # < 3 words → no shingles → NULLs
