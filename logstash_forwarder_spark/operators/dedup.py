@@ -668,6 +668,44 @@ def span_share_stats(
     )
 
 
+def sketch_text(
+    text,
+    *,
+    minhash_p: int,
+    minhash_perms: list,
+    simhash_bits: int = 32,
+):
+    """Pure per-text sketch math of the portable witnesses: (minhash
+    signature list | None, simhash | None). Engine-neutral definition —
+    md5 of each distinct normalized 3-gram; affine permutations mod P;
+    per-bit majorities with ties up — kept Spark-free so a hypothesis
+    property test can sweep it against a naive reference directly."""
+    import hashlib
+    import re as _re
+
+    words = (
+        _re.sub(r"\s+", " ", (text or ""), flags=_re.ASCII).strip().lower().split(" ")
+    )
+    grams = (
+        {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        if len(words) >= 3
+        else set()
+    )
+    if not grams:
+        return None, None
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    hp = [h % minhash_p for h in hs]
+    sigs = [
+        min((h * a + b) % minhash_p for h in hp) for a, b in minhash_perms
+    ]
+    n = len(hs)
+    sim = 0
+    for bit in range(simhash_bits):
+        if 2 * sum((h >> bit) & 1 for h in hs) >= n:
+            sim |= 1 << bit
+    return sigs, sim
+
+
 def portable_sketches(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -687,14 +725,10 @@ def portable_sketches(
     ~14 s at sf0.1 of pure interpreter overhead for the same values.
     Row-local: zero shuffle, partitioning preserved.
     """
-    import hashlib
-    import re as _re
-
     import pandas as pd
 
     n_perms = len(minhash_perms)
     sig_cols = ", ".join(f"sig{p} bigint" for p in range(n_perms))
-    half_mask = (1 << simhash_bits) - 1
 
     def op(batches):
         for pdf in batches:
@@ -704,32 +738,15 @@ def portable_sketches(
                 "simhash32": [],
             }
             for text in pdf[text_col]:
-                words = _re.sub(r"\s+", " ", (text or ""), flags=_re.ASCII).strip().lower().split(" ")
-                grams = (
-                    {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
-                    if len(words) >= 3
-                    else set()
+                sigs, sim = sketch_text(
+                    text,
+                    minhash_p=minhash_p,
+                    minhash_perms=minhash_perms,
+                    simhash_bits=simhash_bits,
                 )
-                if not grams:
-                    for p in range(n_perms):
-                        out[f"sig{p}"].append(None)
-                    out["simhash32"].append(None)
-                    continue
-                hs = [
-                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
-                    for g in grams
-                ]
-                hp = [h % minhash_p for h in hs]
-                for p, (a, b) in enumerate(minhash_perms):
-                    out[f"sig{p}"].append(
-                        min((h * a + b) % minhash_p for h in hp)
-                    )
-                n = len(hs)
-                sig = 0
-                for bit in range(simhash_bits):
-                    if 2 * sum((h >> bit) & 1 for h in hs) >= n:
-                        sig |= 1 << bit
-                out["simhash32"].append(sig & half_mask)
+                for p in range(n_perms):
+                    out[f"sig{p}"].append(sigs[p] if sigs else None)
+                out["simhash32"].append(sim)
             yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()

@@ -388,3 +388,37 @@ def test_portable_sketches_custom_id_col(spark):
     got = {r.key: r for r in out}
     assert got["k1"].sig0 is not None and got["k1"].simhash32 is not None
     assert got["k2"].sig0 is None  # < 3 words → no shingles → NULLs
+
+
+from hypothesis import given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=60, deadline=None)
+@given(
+    _st.text(alphabet="ab \t", min_size=0, max_size=40)
+)
+def test_sketch_text_property_vs_naive(text):
+    """Spark-free property sweep: sketch_text equals an independent naive
+    reference (own normalization, own md5 path) on arbitrary
+    whitespace-mangled text, including empty and <3-word inputs."""
+    import hashlib
+    import re
+
+    from logstash_forwarder_spark.operators.dedup import sketch_text
+    from logstash_forwarder_spark.queries import MINHASH_P, MINHASH_PERMS
+
+    sigs, sim = sketch_text(
+        text, minhash_p=MINHASH_P, minhash_perms=MINHASH_PERMS
+    )
+    w = re.sub(r"[ \t\n\r\f\v]+", " ", text).strip().lower().split(" ")
+    grams = {tuple(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+    if not grams:
+        assert sigs is None and sim is None
+        return
+    hs = [int(hashlib.md5(" ".join(g).encode()).hexdigest()[:15], 16) for g in grams]
+    for p, (a, b) in enumerate(MINHASH_PERMS):
+        assert sigs[p] == min((h % MINHASH_P * a + b) % MINHASH_P for h in hs)
+    for bit in range(32):
+        want = 1 if 2 * sum((h >> bit) & 1 for h in hs) >= len(hs) else 0
+        assert (sim >> bit) & 1 == want
