@@ -67,7 +67,7 @@ def one_trial():
     shutil.rmtree(out, ignore_errors=True)
 
 trials = timed_trials(one_trial, n_trials=3, cores_used=cores + 2,
-                      max_attempts=8)
+                      max_attempts=8, agree=0.2)
 b = best(trials)
 print(json.dumps({{"cores": cores, "rows": n, "sec": b["sec"],
                    "seq_per_sec": round(n / b["sec"]),

@@ -123,9 +123,12 @@ def main() -> None:
         )
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    # min of 2 trials: this VM shows bursty hypervisor CPU steal; the min is
-    # the least-contended observation (per-trial steal fraction reported)
-    trials = timed_trials(one_trial, n_trials=2)
+    # Retry-until-quiet AND until-consensus: steal-gated samples are
+    # discarded, and sampling continues until the two fastest quiet trials
+    # agree within 20% (round 2 proved low steal alone is not enough: two
+    # "quiet" trials came in 2.2× apart). Min of the consensus pair is the
+    # reported number; every trial is published for transparency.
+    trials = timed_trials(one_trial, n_trials=2, agree=0.20, max_attempts=6)
     e2e = best(trials)["sec"]
 
     from logstash_forwarder_spark.queries import registry
@@ -137,16 +140,19 @@ def main() -> None:
             continue
         fn, _ = reg[name]
         try:
-            # min of 2: single samples on this box are routinely 2-5×
-            # inflated by bursty hypervisor CPU steal (see CLAUDE.md).
+            # Consensus sampling (same rationale as the e2e headline):
+            # sample until the two fastest agree within 25%, cap 4.
             # Construction happens INSIDE the timed window: queries that do
             # eager work at build time (e.g. simhash's localCheckpoint of
             # the signature pass) must not get it for free.
-            samples = []
-            for _ in range(2):
+            samples: list[float] = []
+            while len(samples) < 4:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.monotonic() - t0)
+                top2 = sorted(samples)[:2]
+                if len(top2) == 2 and top2[1] <= top2[0] * 1.25:
+                    break
             qtimes[name] = round(min(samples), 3)
         except Exception as e:  # keep the bench line intact on one bad query
             qtimes[name] = -1.0

@@ -27,6 +27,7 @@ def timed_trials(
     steal_gate: float | None = 0.02,
     max_attempts: int | None = None,
     cores_used: int | None = None,
+    agree: float | None = None,
 ) -> list[dict]:
     """Run fn n times; per trial capture wall seconds + steal fraction
     (stolen CPU-seconds / (wall * ncpus)).
@@ -36,16 +37,31 @@ def timed_trials(
     keep sampling (up to ``max_attempts``, default 3×n) until ``n_trials``
     quiet samples are collected; noisy samples are still recorded (marked
     ``gated``) for transparency.
+
+    ``agree`` adds a CONSENSUS requirement: keep sampling until the two
+    fastest quiet samples are within that relative tolerance of each other.
+    The steal counter only sees hypervisor preemption — round 2 recorded
+    two "quiet" (<2% steal) e2e trials 2.2× apart (117 s vs 54 s), so
+    low-steal alone does not certify an uncontended run; two independent
+    samples agreeing does.
     """
     import os
 
     ncpus = os.cpu_count() or 1
     hz = 100  # USER_HZ
     out: list[dict] = []
-    quiet = 0
     attempts = 0
     cap = max_attempts if max_attempts is not None else 3 * n_trials
-    while quiet < n_trials and attempts < cap:
+
+    def satisfied() -> bool:
+        quiet_secs = sorted(t["sec"] for t in out if not t.get("gated"))
+        if len(quiet_secs) < n_trials:
+            return False
+        if agree is None or len(quiet_secs) < 2:
+            return True
+        return quiet_secs[1] <= quiet_secs[0] * (1.0 + agree)
+
+    while not satisfied() and attempts < cap:
         attempts += 1
         s0 = read_steal_jiffies()
         t0 = time.monotonic()
@@ -64,8 +80,6 @@ def timed_trials(
         }
         if steal_gate is not None and frac > steal_gate:
             rec["gated"] = True
-        else:
-            quiet += 1
         out.append(rec)
     return out
 

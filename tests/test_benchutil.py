@@ -18,6 +18,32 @@ def test_timed_trials_and_best():
     assert best(trials)["sec"] == min(t["sec"] for t in trials)
 
 
+def test_agree_keeps_sampling_until_consensus():
+    # first sample is 4× the rest (simulated contention): with agree=0.2
+    # the loop must take a third sample so the two FASTEST quiet samples
+    # agree; without agree it would have stopped at n_trials=2
+    import time
+
+    durations = iter([0.4, 0.1, 0.1, 0.1, 0.1])
+    trials = timed_trials(
+        lambda: time.sleep(next(durations)),
+        n_trials=2,
+        steal_gate=None,
+        agree=0.2,
+        max_attempts=5,
+    )
+    assert len(trials) == 3
+    secs = sorted(t["sec"] for t in trials)
+    assert secs[1] <= secs[0] * 1.2
+
+
+def test_agree_satisfied_immediately_stops_at_n():
+    trials = timed_trials(
+        lambda: None, n_trials=2, steal_gate=None, agree=0.5, max_attempts=5
+    )
+    assert len(trials) == 2
+
+
 def test_steal_gate_caps_attempts():
     # an impossible gate: every sample is "noisy", loop must stop at 3×n
     trials = timed_trials(lambda: None, n_trials=2, steal_gate=-1.0)
