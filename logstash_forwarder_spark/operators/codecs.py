@@ -1,0 +1,190 @@
+"""Dependency-free raster codecs: BMP (24-bit uncompressed) and PPM/PGM.
+
+This container has no PIL/opencv/ffmpeg, so the multimodal operators keep a
+codec-injection seam (operators/multimodal.py). These pure-numpy decoders
+plug REAL formats into that seam — byte-exact parsing of the two classic
+uncompressed raster formats — so `decode_media` / `resize_media` run end to
+end on genuine image bytes with zero new dependencies:
+
+* BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed),
+  4-byte-aligned rows, bottom-up or top-down (negative height).
+* PPM (P6) / PGM (P5): binary netpbm, maxval ≤ 255, `#` comments.
+
+`image_feature_codec` / `image_resize_codec` adapt them to the exact batch
+signatures `decode_media(codec=...)` and `resize_media(codec=...)` expect;
+format is sniffed per payload from magic bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+FEATURE_DIM = 8  # matches multimodal.FEATURE_DIM
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (height, width, 3) uint8 RGB array.
+
+    Handles the 4-byte row padding and both row orders (positive height =
+    bottom-up per the spec, negative = top-down)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size}, planes={planes})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * height
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need} bytes")
+    rows = np.frombuffer(data, np.uint8, row_bytes * height, data_off).reshape(
+        height, row_bytes
+    )
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR storage → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp needs an RGB array")
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, flip
+    pix = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+# ---------------------------------------------------------------- PPM/PGM
+
+
+def _pnm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated integer tokens (skipping `#` comments)
+    starting at byte offset `start`; returns (values, offset past the single
+    whitespace byte that terminates the last token — the spec's separator
+    before raster data)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(data[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary netpbm: P6 → (h, w, 3) RGB, P5 → (h, w) grayscale; uint8."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    (w, h, maxval), off = _pnm_tokens(data, 3, 2)
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(data) < off + need:
+        raise ValueError(f"truncated PNM: {len(data)} < {off + need}")
+    arr = np.frombuffer(data, np.uint8, need, off)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → binary P6/P5 bytes."""
+    if img.ndim == 3:
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------- dispatch
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff the container from magic bytes and decode to a uint8 array."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] in (b"P6", b"P5"):
+        return decode_pnm(data)
+    raise ValueError(f"unknown image magic {data[:2]!r}")
+
+
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    return np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+
+
+def nearest_resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample to (h, w[, ch]) — same index mapping for
+    any channel count; floor((i + 0.5) * src / dst) sampling."""
+    sh, sw = img.shape[:2]
+    yy = np.minimum(((np.arange(h) + 0.5) * sh / h).astype(np.int64), sh - 1)
+    xx = np.minimum(((np.arange(w) + 0.5) * sw / w).astype(np.int64), sw - 1)
+    return img[yy][:, xx]
+
+
+# ---- seam adapters (exact signatures from operators/multimodal.py) ------
+
+
+def image_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
+    """`decode_media(codec=...)` adapter: decode each payload and emit
+    FEATURE_DIM floats — [width, height, mean R, mean G, mean B,
+    std/255, min/255, max/255] (means normalized to [0,1])."""
+    feats = []
+    for p in payloads:
+        img = _as_rgb(decode_image(bytes(p)))
+        f = img.astype(np.float64)
+        feats.append(
+            np.array(
+                [
+                    img.shape[1],
+                    img.shape[0],
+                    f[:, :, 0].mean() / 255.0,
+                    f[:, :, 1].mean() / 255.0,
+                    f[:, :, 2].mean() / 255.0,
+                    f.std() / 255.0,
+                    f.min() / 255.0,
+                    f.max() / 255.0,
+                ],
+                dtype=np.float32,
+            )
+        )
+    return pd.Series(feats)
+
+
+def image_resize_codec(payloads: pd.Series, w: int, h: int) -> pd.Series:
+    """`resize_media(codec=...)` adapter: decode, nearest-neighbor resize,
+    re-encode in the SAME container the payload arrived in."""
+    out = []
+    for p in payloads:
+        data = bytes(p)
+        img = nearest_resize(decode_image(data), w, h)
+        out.append(encode_bmp(img) if data[:2] == b"BM" else encode_ppm(img))
+    return pd.Series(out)

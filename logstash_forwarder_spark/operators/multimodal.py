@@ -2,11 +2,14 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed ``meta``
 struct (schema.MEDIA_SCHEMA). The Spark-side plumbing — schema, Arrow batch
-shape, ``mapInPandas`` partitioning — is real and tested; the actual codec
-work is STUBBED (no image/audio libs in this container): ``decode_media``
-raises NotImplementedError unless ``fake=True``, in which case it produces a
-deterministic feature vector from the payload bytes so the distributed
-plumbing can be exercised end-to-end.
+shape, ``mapInPandas`` partitioning — is real and tested. Codec work flows
+through an injection seam: with no codec and ``fake=False``,
+``decode_media``/``resize_media`` raise NotImplementedError (no PIL/ffmpeg
+in this container); ``fake=True`` substitutes a deterministic byte-derived
+stand-in. REAL raster formats are covered dependency-free:
+``operators.codecs.image_feature_codec`` / ``image_resize_codec`` decode
+and re-encode genuine BMP (24bpp) and PPM/PGM bytes with pure numpy
+(byte-exact fixtures in tests/test_codecs.py).
 """
 
 from __future__ import annotations

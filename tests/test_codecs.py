@@ -1,0 +1,159 @@
+"""Real raster decode through the multimodal codec seam — no fake=True.
+
+The pure-numpy BMP/PPM codecs (operators/codecs.py) are checked byte-exact
+against hand-built fixtures, then plugged into `decode_media` /
+`resize_media` so genuine image bytes flow the whole distributed path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from logstash_forwarder_spark.operators.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_pnm,
+    encode_bmp,
+    encode_ppm,
+    image_feature_codec,
+    image_resize_codec,
+    nearest_resize,
+)
+
+RED, GREEN, BLUE, WHITE = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+
+
+def _bmp_2x2() -> bytes:
+    """Hand-assembled (not via encode_bmp) 2×2 24bpp BMP, bottom-up:
+    image = [[RED, GREEN], [BLUE, WHITE]]; rows stored bottom-first in BGR
+    with 2 pad bytes each (row stride 8)."""
+    pix = bytes(
+        [255, 0, 0, 255, 255, 255, 0, 0]  # bottom row: BLUE, WHITE (BGR) + pad
+        + [0, 0, 255, 0, 255, 0, 0, 0]  # top row: RED, GREEN (BGR) + pad
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def test_decode_bmp_byte_exact():
+    img = decode_bmp(_bmp_2x2())
+    assert img.shape == (2, 2, 3)
+    assert [tuple(p) for p in img.reshape(-1, 3)] == [RED, GREEN, BLUE, WHITE]
+
+
+def test_decode_bmp_top_down():
+    # negative height = top-down storage: same stored rows now mean the
+    # first stored row IS the top image row
+    data = bytearray(_bmp_2x2())
+    struct.pack_into("<i", data, 22, -2)
+    img = decode_bmp(bytes(data))
+    assert [tuple(p) for p in img.reshape(-1, 3)] == [BLUE, WHITE, RED, GREEN]
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 4), (8, 3)])
+def test_bmp_roundtrip_odd_widths(w, h):
+    # odd widths exercise the 4-byte row padding
+    rng = np.random.default_rng(7 * w + h)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_decode_bmp_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(_bmp_2x2()[:-4])
+
+
+def test_decode_ppm_with_comments():
+    raw = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9, 8, 8, 8, 7, 7, 7])
+    data = b"P6\n# a comment\n3 2\n255\n" + raw
+    img = decode_pnm(data)
+    assert img.shape == (2, 3, 3)
+    assert np.array_equal(img.reshape(-1), np.frombuffer(raw, np.uint8))
+
+
+def test_pgm_roundtrip_and_truncation():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_ppm(gray)), gray)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pnm(encode_ppm(gray)[:-2])
+
+
+def test_ppm_roundtrip_rgb():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (3, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_nearest_resize_exact():
+    img = np.array([[[1, 1, 1], [2, 2, 2]], [[3, 3, 3], [4, 4, 4]]], np.uint8)
+    up = nearest_resize(img, 4, 4)
+    assert np.array_equal(up[:2, :2], np.full((2, 2, 3), 1))
+    assert np.array_equal(up[2:, 2:], np.full((2, 2, 3), 4))
+    down = nearest_resize(up, 2, 2)
+    assert np.array_equal(down, img)
+
+
+def _media_df(spark, n=24):
+    """Media rows whose payloads are REAL encoded images: even ids BMP,
+    odd ids PPM, plus two non-image passthrough rows."""
+    from logstash_forwarder_spark.schema import MEDIA_SCHEMA
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(100 + i)
+        w, h = int(rng.integers(2, 9)), int(rng.integers(2, 7))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(img) if i % 2 == 0 else encode_ppm(img)
+        rows.append((f"m-{i:04d}", "image", bytearray(payload), (w, h, None, None, "bmp" if i % 2 == 0 else "ppm")))
+    rows.append(("m-aud", "audio", bytearray(b"\x01\x02\x03"), (None, None, 16000, None, "pcm")))
+    rows.append(("m-vid", "video", bytearray(b"\x04\x05"), (None, None, None, 30, "raw")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), rows
+
+
+def _expected_img(i):
+    rng = np.random.default_rng(100 + i)
+    w, h = int(rng.integers(2, 9)), int(rng.integers(2, 7))
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_decode_media_real_codec_end_to_end(spark):
+    from logstash_forwarder_spark.operators.multimodal import decode_media
+
+    df, rows = _media_df(spark)
+    # only image rows: the feature codec is an image decoder
+    out = decode_media(df.filter("kind = 'image'"), codec=image_feature_codec)
+    got = {r.media_id: r for r in out.collect()}
+    assert len(got) == 24
+    for i in range(24):
+        img = _expected_img(i)
+        r = got[f"m-{i:04d}"]
+        f = np.asarray(r.features, np.float64)
+        assert (int(f[0]), int(f[1])) == (img.shape[1], img.shape[0])
+        assert f[2] == pytest.approx(img[:, :, 0].mean() / 255.0, abs=1e-6)
+        assert f[7] == pytest.approx(img.max() / 255.0, abs=1e-6)
+        assert r.n_bytes == len(bytes(rows[i][2]))
+
+
+def test_resize_media_real_codec_end_to_end(spark):
+    from logstash_forwarder_spark.operators.multimodal import resize_media
+
+    df, rows = _media_df(spark)
+    out = resize_media(df, 4, 3, codec=image_resize_codec)
+    got = {r.media_id: r for r in out.collect()}
+    for i in range(24):
+        r = got[f"m-{i:04d}"]
+        assert (r.width, r.height) == (4, 3)
+        dec = decode_image(bytes(r.payload))
+        # resized payload re-encodes in the SAME container it arrived in
+        assert bytes(r.payload)[:2] == (b"BM" if i % 2 == 0 else b"P6")
+        assert np.array_equal(dec, nearest_resize(_expected_img(i), 4, 3))
+    # non-image rows pass through untouched
+    assert bytes(got["m-aud"].payload) == b"\x01\x02\x03"
+    assert bytes(got["m-vid"].payload) == b"\x04\x05"
