@@ -16,6 +16,13 @@ One logical run = one envelope/ack cycle of the reference
   crash between the two leaves a published-but-unreferenced dir, which
   resume deletes and redoes → exactly-once routed rows (strictly stronger
   than the reference's at-least-once, SURVEY §3.4).
+* **Two commit protocols.** ``commit_mode="rename"`` (default) publishes by
+  atomic directory rename — correct on POSIX, impossible on object stores.
+  ``commit_mode="manifest"`` writes data files once in their final
+  partition dirs and commits each sink by atomically swapping ONE small
+  manifest file readers resolve through (plans/manifest.py) — the
+  Iceberg-style protocol for S3/GCS, proven rename-free by a shim that
+  forbids directory renames (tests/test_manifest_commit.py).
 """
 
 from __future__ import annotations
@@ -47,6 +54,12 @@ class PipelineSpec:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     routes: list[tuple[int, str, str]] = field(default_factory=default_routes)
     salt_buckets: int = 64
+    # "rename": atomic directory rename per sink (POSIX-only, the default
+    # here — no object store in this sandbox). "manifest": data files are
+    # written once in place and a small per-sink manifest file is the commit
+    # — no directory renames anywhere, the object-store-safe protocol
+    # (plans/manifest.py).
+    commit_mode: str = "rename"
     # test-only fault injection: raise after N successful sink commits
     fail_after_sinks: int | None = None
 
@@ -93,20 +106,43 @@ def run_pipeline(
         # exclude already-committed sinks before the (expensive) staging pass
         if done:
             routed = routed.filter(~F.col("sink").isin(sorted(done)))
-        # a previous crashed attempt may have left a partial staging dir
-        shutil.rmtree(staging, ignore_errors=True)
-        # fields is map<string,string>: fine for parquet; keep full row for
-        # routed-row equality checks downstream.
-        routed.write.partitionBy("sink").parquet(staging)
 
-        has_staged = any(
-            d.startswith("sink=") for d in os.listdir(staging)
-        )  # zero routed rows → only _SUCCESS; parquet read would fail
+        if spec.commit_mode == "manifest":
+            # -- rename-free protocol (plans/manifest.py): GC unreferenced
+            # leftovers of crashed attempts, write data files ONCE in their
+            # final partition dirs, then commit each sink by atomically
+            # publishing one small manifest file. No directory ever moves.
+            from .plans.manifest import gc_sink, list_data_files, publish_manifest
+
+            for sink in todo:
+                gc_sink(run_dir, sink)
+            shutil.rmtree(os.path.join(run_dir, "_temporary"), ignore_errors=True)
+            routed.write.mode("append").partitionBy("sink").parquet(run_dir)
+            staged_dirs = [
+                os.path.join(run_dir, f"sink={s}")
+                for s in todo
+                if list_data_files(run_dir, s)
+            ]
+            staged = (
+                spark.read.option("basePath", run_dir).parquet(*staged_dirs)
+                if staged_dirs
+                else None
+            )
+        else:
+            # a previous crashed attempt may have left a partial staging dir
+            shutil.rmtree(staging, ignore_errors=True)
+            # fields is map<string,string>: fine for parquet; keep full row
+            # for routed-row equality checks downstream.
+            routed.write.partitionBy("sink").parquet(staging)
+            has_staged = any(
+                d.startswith("sink=") for d in os.listdir(staging)
+            )  # zero routed rows → only _SUCCESS; parquet read would fail
+            staged = spark.read.parquet(staging) if has_staged else None
+
         lineage_staging = os.path.join(run_dir, "_lineage_staging")
         shutil.rmtree(lineage_staging, ignore_errors=True)
         lineage_files: dict[str, str] = {}
-        if has_staged:
-            staged = spark.read.parquet(staging)
+        if staged is not None:
             # per-partition lineage, one columnar scan, WRITTEN BY EXECUTORS
             # — the driver never materializes a row per input partition
             # (a toPandas() here scales with partition count; VERDICT r1 #6).
@@ -152,20 +188,38 @@ def run_pipeline(
 
         n_committed = 0
         for sink in todo:
-            src = os.path.join(staging, f"sink={sink}")
-            dst = os.path.join(run_dir, f"sink={sink}")
-            # crash between publish and checkpoint leaves dst unreferenced:
-            # delete and redo (idempotent re-commit)
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if not os.path.isdir(src):
-                # no rows routed to this sink in this run: commit empty lineage
-                reg.commit(spec.run_id, sink, [LineageRow(-1, 0, 0)])
-                committed.append(sink)
-                continue
-            os.replace(src, dst)  # atomic publish = the ack (O-R5)
-            # checkpoint = adopting the executor-written lineage file
-            reg.commit_file(spec.run_id, sink, lineage_files[sink])
+            if spec.commit_mode == "manifest":
+                files = list_data_files(run_dir, sink)
+                if not files:
+                    publish_manifest(run_dir, sink, [], 0)
+                    reg.commit(spec.run_id, sink, [LineageRow(-1, 0, 0)])
+                    committed.append(sink)
+                    continue
+                n_rows = int(
+                    pq_read_column_sum(lineage_files[sink], "row_count")
+                )
+                # publish = the ack (one atomic FILE swap names the data
+                # files); checkpoint second — a crash between the two leaves
+                # a manifest the registrar never adopted, which resume's
+                # gc_sink deletes and redoes (same exactly-once window as
+                # the rename protocol)
+                publish_manifest(run_dir, sink, files, n_rows)
+                reg.commit_file(spec.run_id, sink, lineage_files[sink])
+            else:
+                src = os.path.join(staging, f"sink={sink}")
+                dst = os.path.join(run_dir, f"sink={sink}")
+                # crash between publish and checkpoint leaves dst
+                # unreferenced: delete and redo (idempotent re-commit)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if not os.path.isdir(src):
+                    # no rows routed to this sink: commit empty lineage
+                    reg.commit(spec.run_id, sink, [LineageRow(-1, 0, 0)])
+                    committed.append(sink)
+                    continue
+                os.replace(src, dst)  # atomic publish = the ack (O-R5)
+                # checkpoint = adopting the executor-written lineage file
+                reg.commit_file(spec.run_id, sink, lineage_files[sink])
             committed.append(sink)
             n_committed += 1
             if (
@@ -184,11 +238,7 @@ def run_pipeline(
         shutil.rmtree(os.path.join(run_dir, "_lineage_staging"), ignore_errors=True)
 
     # north-rule metrics: per-sink/per-source counts + token totals (salted)
-    published = [
-        os.path.join(run_dir, f"sink={s}")
-        for s in all_sinks
-        if os.path.isdir(os.path.join(run_dir, f"sink={s}"))
-    ]
+    published = _published_sources(run_dir, all_sinks)
     metrics_path = os.path.join(run_dir, "_metrics")
     if published:
         routed_back = spark.read.option("basePath", run_dir).parquet(*published)
@@ -205,9 +255,37 @@ def run_pipeline(
     )
 
 
+def pq_read_column_sum(path: str, column: str) -> int:
+    """Sum one int64 column of a single (metadata-sized) parquet file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[column])
+    return int(pc.sum(t.column(column)).as_py() or 0)
+
+
+def _published_sources(run_dir: str, sinks) -> list[str]:
+    """Reader-side source resolution, commit-protocol-aware: a sink with a
+    manifest contributes exactly its manifest-listed files (anything else in
+    the directory is an uncommitted orphan and MUST be invisible); a sink
+    without one falls back to the rename-protocol directory."""
+    from .plans.manifest import resolve_sink_files
+
+    out: list[str] = []
+    for s in sinks:
+        files = resolve_sink_files(run_dir, s)
+        if files is None:
+            d = os.path.join(run_dir, f"sink={s}")
+            if os.path.isdir(d):
+                out.append(d)
+        else:
+            out.extend(files)
+    return out
+
+
 def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> DataFrame:
     run_dir = os.path.join(out_dir, f"run_id={run_id}")
-    return (
-        spark.read.option("basePath", run_dir)
-        .parquet(os.path.join(run_dir, f"sink={sink}"))
-    )
+    sources = _published_sources(run_dir, [sink])
+    if not sources:
+        raise ValueError(f"sink {sink!r} has no published data in {run_dir}")
+    return spark.read.option("basePath", run_dir).parquet(*sources)

@@ -256,11 +256,12 @@ class SnapshotLog:
             cut_at = _as_utc(as_of)
             snaps = [s for s in snaps if s.committed_at <= cut_at]
         run_dir = os.path.join(out_dir, f"run_id={run_id}")
-        dirs = [
-            os.path.join(run_dir, f"sink={s.sink}")
-            for s in snaps
-            if os.path.isdir(os.path.join(run_dir, f"sink={s.sink}"))
-        ]
+        # commit-protocol-aware resolution: manifest-committed sinks expose
+        # exactly their manifest-listed files (rename-free protocol,
+        # plans/manifest.py); others the whole immutable sink dir
+        from ..pipeline import _published_sources
+
+        dirs = _published_sources(run_dir, sorted({s.sink for s in snaps}))
         if not dirs:
             # Iceberg semantics: reading before the first visible snapshot
             # is an error, not an empty relation of guessed schema

@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
         help="time-travel read: per-sink row counts of --run-id's published "
         "data as of SNAPSHOT_ID (plans/registrar.py SnapshotLog), then exit",
     )
+    p.add_argument(
+        "--commit-mode",
+        choices=["rename", "manifest"],
+        default="rename",
+        help="sink publish protocol: atomic directory rename (POSIX) or "
+        "rename-free manifest files (object-store-safe; plans/manifest.py)",
+    )
     p.add_argument("--master", default=None, help="override master (local[N])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -106,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("one of --input / --gen / --text-glob is required")
 
-    spec_kwargs = {"out_dir": args.out}
+    spec_kwargs = {"out_dir": args.out, "commit_mode": args.commit_mode}
     if args.run_id:
         spec_kwargs["run_id"] = args.run_id
     res = run_pipeline(spark, seqs, gen_source_dim(spark), PipelineSpec(**spec_kwargs))

@@ -1,0 +1,162 @@
+"""Rename-free manifest commit protocol (plans/manifest.py).
+
+Every test runs under a shim that makes `os.replace` RAISE on directories —
+proving the whole publish/checkpoint/resume/time-travel cycle needs only
+single-file atomic swaps, the primitive object stores can provide (the
+default rename protocol moves whole sink dirs, which they cannot)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.datagen import gen_sequences, gen_source_dim
+from logstash_forwarder_spark.pipeline import (
+    InjectedFailure,
+    PipelineSpec,
+    read_sink,
+    run_pipeline,
+)
+from logstash_forwarder_spark.plans.manifest import read_manifest
+from logstash_forwarder_spark.plans.registrar import Registrar, SnapshotLog
+
+N = 2_000
+
+
+@pytest.fixture
+def no_dir_rename(monkeypatch):
+    real = os.replace
+
+    def guarded(src, dst, *a, **k):
+        if os.path.isdir(src):
+            raise AssertionError(f"directory rename attempted: {src} -> {dst}")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "replace", guarded)
+
+
+def _spec(tmp_out, run_id, **kw):
+    return PipelineSpec(
+        out_dir=tmp_out, run_id=run_id, commit_mode="manifest", **kw
+    )
+
+
+def _all_rows(spark, tmp_out, run_id, sinks):
+    frames = []
+    for s in sinks:
+        try:
+            frames.append(read_sink(spark, tmp_out, run_id, s))
+        except ValueError:
+            pass  # empty sink: manifest with no files
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df
+
+
+def test_manifest_run_resume_exactly_once(spark, tmp_out, no_dir_rename):
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    res = run_pipeline(spark, seqs, dim, _spec(tmp_out, "m1"))
+    assert len(res.sinks_committed) == 4 and res.rows_staged == N
+    # identical rerun: all sinks skipped, nothing re-staged
+    res2 = run_pipeline(spark, seqs, dim, _spec(tmp_out, "m1"))
+    assert res2.sinks_committed == [] and res2.rows_staged == 0
+    assert sorted(res2.sinks_skipped) == sorted(res.sinks_committed)
+    # published data complete and duplicate-free; lineage agrees
+    got = _all_rows(spark, tmp_out, "m1", res.sinks_committed)
+    n, nd = got.agg(
+        F.count(F.lit(1)), F.countDistinct("doc_id")
+    ).first()
+    assert (n, nd) == (N, N)
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    lin = reg.lineage("m1")
+    assert sum(lin.column("row_count").to_pylist()) == N
+    # per-sink manifest row_count matches the published reality
+    run_dir = os.path.join(tmp_out, "run_id=m1")
+    by_sink = {r["sink"]: r["n"] for r in got.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for sink, want in by_sink.items():
+        assert read_manifest(run_dir, sink)["row_count"] == want
+
+
+def test_manifest_kill_resume(spark, tmp_out, no_dir_rename):
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    with pytest.raises(InjectedFailure):
+        run_pipeline(spark, seqs, dim, _spec(tmp_out, "mk", fail_after_sinks=2))
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    assert len(reg.committed_sinks("mk")) == 2
+    res = run_pipeline(spark, seqs, dim, _spec(tmp_out, "mk"))
+    assert len(res.sinks_committed) + len(res.sinks_skipped) == 4
+    got = _all_rows(spark, tmp_out, "mk", ["sink_apache", "sink_default", "sink_dev", "sink_syslog"])
+    n, nd = got.agg(F.count(F.lit(1)), F.countDistinct("doc_id")).first()
+    assert (n, nd) == (N, N)
+    assert sum(reg.lineage("mk").column("row_count").to_pylist()) == N
+
+
+def test_manifest_crash_between_publish_and_checkpoint(
+    spark, tmp_out, no_dir_rename
+):
+    """The exactly-once window: a manifest published but never adopted by
+    the registrar is garbage — resume deletes it and redoes the sink with
+    no duplicates."""
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    res = run_pipeline(spark, seqs, dim, _spec(tmp_out, "mw"))
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    victim = sorted(res.sinks_committed)[0]
+    os.remove(os.path.join(reg.path, reg._commit_name("mw", victim)))
+    assert victim not in reg.committed_sinks("mw")
+    res2 = run_pipeline(spark, seqs, dim, _spec(tmp_out, "mw"))
+    assert res2.sinks_committed == [victim]
+    got = _all_rows(spark, tmp_out, "mw", res.sinks_committed)
+    n, nd = got.agg(F.count(F.lit(1)), F.countDistinct("doc_id")).first()
+    assert (n, nd) == (N, N)
+
+
+def test_manifest_orphan_files_invisible(spark, tmp_out, no_dir_rename):
+    """Readers resolve through the manifest: a stray data file dropped in a
+    committed sink's directory (a crashed writer's leftover) must not appear
+    in any read path."""
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    res = run_pipeline(spark, seqs, dim, _spec(tmp_out, "mo"))
+    run_dir = os.path.join(tmp_out, "run_id=mo")
+    sink = sorted(
+        s for s in res.sinks_committed if read_manifest(run_dir, s)["files"]
+    )[0]
+    before = read_sink(spark, tmp_out, "mo", sink).count()
+    d = os.path.join(run_dir, f"sink={sink}")
+    src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    shutil.copyfile(
+        os.path.join(d, src), os.path.join(d, "part-orphan-from-crash.parquet")
+    )
+    assert read_sink(spark, tmp_out, "mo", sink).count() == before
+    # snapshot read is manifest-aware too
+    log = SnapshotLog(Registrar(os.path.join(tmp_out, "_checkpoint")))
+    cur = log.current()
+    df = log.read_as_of(spark, tmp_out, "mo", snapshot_id=cur.snapshot_id)
+    assert df.count() == N
+
+
+def test_manifest_time_travel_midpoint(spark, tmp_out, no_dir_rename):
+    """read_as_of at the second commit sees exactly the first two sinks'
+    rows — manifest-resolved, not directory-listed."""
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    run_pipeline(spark, seqs, dim, _spec(tmp_out, "mt"))
+    log = SnapshotLog(Registrar(os.path.join(tmp_out, "_checkpoint")))
+    snaps = [s for s in log.snapshots() if s.run_id == "mt"]
+    assert len(snaps) == 4
+    cut = snaps[1]
+    df = log.read_as_of(spark, tmp_out, "mt", snapshot_id=cut.snapshot_id)
+    visible = {s.sink for s in snaps[:2]}
+    assert set(r.sink for r in df.select("sink").distinct().collect()) <= visible
+    want = sum(
+        read_manifest(os.path.join(tmp_out, "run_id=mt"), s)["row_count"]
+        for s in visible
+    )
+    assert df.count() == want
