@@ -24,6 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks. ``DataFrame.unpersist()``
+    only talks to the SQL cache manager and does NOT release them; the
+    persisted RDD sits in the checkpointed plan's LogicalRDD node (verified:
+    getRDDStorageInfo 1 → 0 after this call). The released DataFrame is
+    DEAD — localCheckpoint truncates lineage, so there is nothing to
+    recompute from — only superseded round state may be released."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best effort: the ContextCleaner reclaims on GC eventually
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -49,38 +62,52 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # the convergence signal rides the SAME join that builds the new
-        # labels (_chg marks rows whose label shrinks) — a separate
-        # new⋈old comparison join would add one shuffle join and one
-        # action per round for information this pass already has
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("_chg"),
+    # every superseded checkpoint is released as soon as its successor
+    # materializes (and sym on every exit path) — over many rounds and many
+    # queries in one session the blocks otherwise accumulate in storage
+    prev = labels
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint(eager=True)
+            # the convergence signal rides the SAME join that builds the new
+            # labels (_chg marks rows whose label shrinks) — a separate
+            # new⋈old comparison join would add one shuffle join and one
+            # action per round for information this pass already has
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                    .cast("int")
+                    .alias("_chg"),
+                )
+                .localCheckpoint(eager=True)  # eager: prev is safe to free
+            )
+            _release_checkpoint(prev)
+            prev = new_labels
+            changed = int(
+                new_labels.agg(F.coalesce(F.sum("_chg"), F.lit(0))).first()[0]
+            )
+            labels = new_labels.drop("_chg")
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "graph diameter exceeds the dedup-cluster regime this operator "
+            "targets; use star-contraction for long-chain graphs"
         )
-        changed = int(new_labels.agg(F.coalesce(F.sum("_chg"), F.lit(0))).first()[0])
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("cluster"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the dedup-cluster regime this operator "
-        "targets; use star-contraction for long-chain graphs"
-    )
+    except Exception:
+        _release_checkpoint(prev)  # error exit: the result is not returned
+        raise
+    finally:
+        _release_checkpoint(sym)
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:

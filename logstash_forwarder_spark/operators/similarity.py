@@ -284,7 +284,13 @@ def _cell_stats_arrow(df: DataFrame, vec_col: str, centroids) -> DataFrame:
             # per-cell vector sums via sort + cumsum boundary differences:
             # np.add.at is an unbuffered per-element scatter (the same
             # pathology as 2-D reduceat, CLAUDE.md) — cumsum over the
-            # cell-sorted matrix hits memory bandwidth instead
+            # cell-sorted matrix hits memory bandwidth instead.
+            # Precision note: later cells' sums are differences of large
+            # running totals (float64 cancellation grows with batch size,
+            # ~n·eps relative — 1e-11 at 10k-row batches). Tolerable by
+            # contract: these sums only STEER Lloyd centroids; no compared
+            # query output contains them (ivf exhaustive-probe re-ranks
+            # with exact cosine, so the oracle never sees centroid floats).
             order = np.argsort(cells, kind="stable")
             csum = np.cumsum(mat[order], axis=0)
             ends = np.cumsum(cnt) - 1  # last sorted row index of each cell

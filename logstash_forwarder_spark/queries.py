@@ -1029,8 +1029,13 @@ def _materialize_log_files(sf_dir: str) -> str:
     import hashlib
     import os
 
+    # cache key = path + content fingerprint (size, mtime_ns) of the source
+    # parquet: a regenerated documents.parquet at the same path must NOT
+    # reuse stale .log fixtures (it would silently diverge from its oracle)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
     out = os.path.join(
-        "/tmp", f"lfs_harvest_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}"
+        "/tmp", f"lfs_harvest_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     )
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out

@@ -67,3 +67,31 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=2)
+
+
+def _stored_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_checkpoint_storage_released(spark):
+    """Superseded round checkpoints and sym are freed; only the final
+    labels checkpoint (which backs the returned DataFrame) survives, and
+    the returned result is still fully readable after the frees."""
+    base = _stored_rdds(spark)
+    edges = [(0, i) for i in range(1, 20)] + [(100, 100 + i) for i in range(1, 21)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df)
+    rows = out.collect()
+    assert len(rows) == 41 and {r.cluster for r in rows} == {0, 100}
+    assert _stored_rdds(spark) <= base + 1  # final labels only
+    # still readable: the surviving checkpoint is the one the result needs
+    assert out.count() == 41
+
+
+def test_checkpoint_storage_released_on_failure(spark):
+    """The max_iter error path must not leak any checkpoint blocks."""
+    base = _stored_rdds(spark)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(64)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    assert _stored_rdds(spark) <= base
