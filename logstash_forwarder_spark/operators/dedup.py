@@ -293,12 +293,16 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE,
     k: int = DEFAULT_MINHASH_K,
     seed: int = 42,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sig: array<bigint>[k]) — k-permutation minhash over distinct
-    word n-gram shingles, computed entirely inside the scan (mapInArrow):
-    per permutation p, sig[p] = min over shingles of (A_p * h + B_p) in
-    uint64. Rows with no shingles are dropped (same as the exploded-groupBy
-    formulation this replaces). No shuffle anywhere."""
+    """(id[, *passthrough], sig: array<bigint>[k]) — k-permutation minhash
+    over distinct word n-gram shingles, computed entirely inside the scan
+    (mapInArrow): per permutation p, sig[p] = min over shingles of
+    (A_p * h + B_p) in uint64. Rows with no shingles are dropped (same as
+    the exploded-groupBy formulation this replaces). No shuffle anywhere.
+
+    ``passthrough`` columns ride along untouched (e.g. the event-time
+    column a streaming consumer needs for its watermark)."""
     import numpy as np
     import pyarrow as pa
 
@@ -306,7 +310,11 @@ def minhash_signatures(
     A = (rng.integers(1, 1 << 62, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 1 << 62, size=k, dtype=np.uint64)
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, sig array<bigint>"
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["sig array<bigint>"]
+    )
 
     def op(batches):
         for b in batches:
@@ -319,16 +327,48 @@ def minhash_signatures(
                 v = dhash * A[p] + B[p]
                 if m:
                     sig[:, p] = np.minimum.reduceat(v, seg_starts)
-            ids = b.column(b.schema.get_field_index(id_col)).take(
-                pa.array(seg_rows, pa.int64())
-            )
+            idx = pa.array(seg_rows, pa.int64())
+            ids = b.column(b.schema.get_field_index(id_col)).take(idx)
+            extra = [
+                b.column(b.schema.get_field_index(c)).take(idx)
+                for c in passthrough
+            ]
             sig_col = pa.ListArray.from_arrays(
                 pa.array(np.arange(m + 1, dtype=np.int64) * k, pa.int32()),
                 pa.array(sig.reshape(-1).view(np.int64), pa.int64()),
             )
-            yield pa.RecordBatch.from_arrays([ids, sig_col], names=[id_col, "sig"])
+            yield pa.RecordBatch.from_arrays(
+                [ids, *extra, sig_col], names=[id_col, *passthrough, "sig"]
+            )
 
-    return df.select(id_col, text_col).mapInArrow(op, schema=out_schema)
+    return df.select(id_col, *passthrough, text_col).mapInArrow(
+        op, schema=out_schema
+    )
+
+
+def band_bucket_struct(bands: int, rows_per_band: int):
+    """The banded-LSH bucket expression over a ``sig`` column — exploding
+    each signature into ``bands`` (band, bucket) structs where bucket =
+    xxhash64 of the band's signature slots. ONE definition shared by the
+    batch self-join (minhash_lsh_pairs) and the streaming candidate stage
+    (streaming/dedup_stream.py), so batch and stream can never disagree on
+    bucketing."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
 
 
 def minhash_lsh_pairs(
@@ -368,24 +408,7 @@ def minhash_lsh_pairs(
         else minhash_signatures(df, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
     )
     banded = sigs.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        id_col, "sig", band_bucket_struct(bands, rows_per_band)
     ).select(id_col, "sig", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")

@@ -1,5 +1,8 @@
-"""Streaming exact dedup — the training-data dedup operators in Structured
-Streaming form (SURVEY §2.11 × the dedup family).
+"""Streaming dedup — the training-data dedup operators in Structured
+Streaming form (SURVEY §2.11 × the dedup family): exact content dedup via
+``dropDuplicatesWithinWatermark`` and NEAR-dup candidate detection via the
+batch minhash-LSH machinery keyed into bounded per-bucket state
+(``streaming_minhash_candidates``).
 
 The reference processes each file line exactly once via its registrar
 (/root/reference/registrar.go:12-29); a streaming ingest additionally wants
@@ -48,3 +51,120 @@ def streaming_exact_dedup(
     return fingerprinted.withWatermark(
         event_time_col, horizon
     ).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_minhash_candidates(
+    stream_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+    n: int | None = None,
+    k: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming NEAR-dup candidate pairs — batch minhash LSH
+    (operators/dedup.py minhash_lsh_pairs) recast as a bounded-state
+    streaming stage.
+
+    Shape: the signature kernel (mapInArrow, row-local — streams fine) and
+    the banded bucket explosion are the SAME code the batch path uses
+    (band_bucket_struct), then ``applyInPandasWithState`` keyed on
+    (band, bucket) holds each bucket's members seen within the watermark
+    horizon and emits a (doc_a, doc_b, est_jaccard_pct) row whenever a new
+    arrival collides with one — including collisions ACROSS micro-batch
+    boundaries. State per key is the bucket's live membership; entries
+    older than the event-time watermark are evicted every batch, so total
+    state ∝ docs per horizon × bands, independent of stream lifetime.
+
+    Pair semantics match the batch operator (doc_a < doc_b, est =
+    floor(matching_slots × 100 / k)) except that a pair colliding in
+    multiple bands is emitted once per colliding band — cross-band dedup
+    needs a second stateful stage; dedup downstream (est is identical for
+    every emission of a pair, so a plain distinct suffices).
+    """
+    from ..operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_MINHASH_K,
+        DEFAULT_SHINGLE,
+        band_bucket_struct,
+        minhash_signatures,
+    )
+
+    n = DEFAULT_SHINGLE if n is None else n
+    k = DEFAULT_MINHASH_K if k is None else k
+    bands = DEFAULT_BANDS if bands is None else bands
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows_per_band = k // bands
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sigs = minhash_signatures(
+        stream_df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        k=k,
+        seed=seed,
+        passthrough=(ts_col,),
+    )
+    banded = (
+        sigs.withWatermark(ts_col, horizon)
+        .select(id_col, ts_col, "sig", band_bucket_struct(bands, rows_per_band))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("_ts"),
+            "sig",
+            "bb.band",
+            "bb.bucket",
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ids, sig_flat, tss = state.get if state.exists else ([], [], [])
+        ids, sig_flat, tss = list(ids), list(sig_flat), list(tss)
+        out_a, out_b, out_est = [], [], []
+        for pdf in pdfs:
+            for doc, sig, ts in zip(pdf["doc_id"], pdf["sig"], pdf["_ts"]):
+                s = np.asarray(sig, dtype=np.int64)
+                for j, other in enumerate(ids):
+                    if other == doc:
+                        continue  # replay of a doc already in state
+                    o = np.asarray(sig_flat[j * k : (j + 1) * k], dtype=np.int64)
+                    a, b = (doc, other) if doc < other else (other, doc)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_est.append(int((s == o).sum()) * 100 // k)
+                ids.append(doc)
+                sig_flat.extend(int(x) for x in s)
+                tss.append(int(pd.Timestamp(ts).value // 1_000_000))
+        # evict members older than the event-time watermark: bounded state
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and tss:
+            keep = [i for i, t in enumerate(tss) if t >= wm]
+            if len(keep) < len(ids):
+                ids = [ids[i] for i in keep]
+                sig_flat = [
+                    x for i in keep for x in sig_flat[i * k : (i + 1) * k]
+                ]
+                tss = [tss[i] for i in keep]
+        if ids:
+            state.update((ids, sig_flat, tss))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "est_jaccard_pct": out_est}
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="doc_a string, doc_b string, est_jaccard_pct long",
+        stateStructType="ids array<string>, sigs array<long>, tss array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -10,6 +10,14 @@ from pyspark.sql import types as T
 
 from logstash_forwarder_spark.streaming.dedup_stream import streaming_exact_dedup
 
+SCHEMA_STR = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
 SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -73,3 +81,83 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     for r in got:
         assert r.fp == batch_fp[r.doc_id]
     assert batch_fp[4] == batch_fp[1]  # the duplicate really collides
+
+
+def test_streaming_minhash_candidates_equal_batch(spark, tmp_path):
+    """Batch ≡ stream: the streaming near-dup candidate stage must find
+    exactly the batch minhash_lsh_pairs set — including pairs whose two
+    members arrive in DIFFERENT micro-batches."""
+    import random
+
+    from logstash_forwarder_spark.operators.dedup import minhash_lsh_pairs
+    from logstash_forwarder_spark.streaming.dedup_stream import (
+        streaming_minhash_candidates,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    docs = []
+    for i in range(12):
+        base = text()
+        words = base.split()
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        near = " ".join(words)
+        docs.append((f"d{i:03d}a", base, t0))
+        docs.append((f"d{i:03d}b", near, t0))
+    for i in range(16):
+        docs.append((f"u{i:03d}", text(), t0))
+    rng.shuffle(docs)
+
+    bdf = spark.createDataFrame(docs, SCHEMA_STR)
+    batch = {
+        (r.doc_a, r.doc_b, r.est_jaccard_pct)
+        for r in minhash_lsh_pairs(bdf).collect()
+    }
+    assert len(batch) >= 10  # the planted near-dups actually collide
+
+    # stream the same rows as two files = two micro-batches, split so that
+    # several planted pairs straddle the boundary
+    in_dir = str(tmp_path / "nd_in")
+    half = len(docs) // 2
+    straddle = sum(
+        1
+        for i in range(12)
+        if (any(d[0] == f"d{i:03d}a" for d in docs[:half]))
+        != (any(d[0] == f"d{i:03d}b" for d in docs[:half]))
+    )
+    assert straddle >= 3  # the boundary really cuts through pairs
+    spark.createDataFrame(docs[:half], SCHEMA_STR).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(docs[half:], SCHEMA_STR).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_minhash_candidates(stream, horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("nd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard_pct)
+        for r in spark.sql(
+            "SELECT DISTINCT doc_a, doc_b, est_jaccard_pct FROM nd_out"
+        ).collect()
+    }
+    assert got == batch
