@@ -149,11 +149,13 @@ def main() -> None:
 Protocol (BASELINE.md): identical on-disk input ({args.rows:,} sequences,
 deterministic seed-42 generation, ~256 tokens/row), full
 parse → enrich → route → fan-out-commit → aggregate pipeline; fresh process
-per parallelism level; worker-warming pass, then steal-gated timed trials
-(this VM suffers bursty hypervisor CPU steal — up to ~350 stolen
-CPU-seconds observed inside one trial — so sampling repeats until quiet
-(<2% steal) samples exist and the minimum is reported; gated samples are
-kept in the table, marked *).
+per parallelism level; worker-warming pass, then steal-gated, CONSENSUS-gated
+timed trials (this VM suffers bursty hypervisor CPU steal — up to ~350
+stolen CPU-seconds in one trial — so sampling repeats until quiet (<2%
+steal) samples exist AND the two fastest agree within 20%; low steal alone
+is not sufficient — non-steal host contention produced 2×-apart "quiet"
+samples in round 2 — the minimum is reported and gated samples stay in the
+table, marked *).
 
 | parallelism | best wall (s) | sequences/sec | trials (steal, *=gated) |
 |---|---|---|---|
