@@ -771,6 +771,64 @@ SQL_MULTIMODAL_BYTES = (
 )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raster-codec end-to-end gate (operators/codecs.py): each doc's
+    text deterministically defines a constant-fill image (w = 1 + L % 16,
+    h = 1 + L % 8, every pixel = L % 251, where L = utf-8 byte length).
+    The Spark side ENCODES that image to genuine 24bpp BMP bytes, DECODES
+    the bytes back, nearest-neighbor RESIZES to 4×3, and reports only what
+    the decoded pixels say. The oracle recomputes every reported number
+    with pure SQL arithmetic — including the BMP container size (54-byte
+    headers + rows padded to 4 bytes) — so framing, padding, decode, and
+    resize are all gated without DuckDB ever parsing a BMP. (Pixel-level
+    byte-exactness on non-constant images is covered by
+    tests/test_codecs.py.) mapInPandas, row-local, zero shuffle; the
+    per-payload loop is the honest shape of codec work — vectorization
+    lives inside each decode."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import decode_image, encode_bmp, nearest_resize
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_bytes", "pixel_sum", "resized_sum"
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                L = len(text.encode("utf-8"))
+                w, h, v = 1 + L % 16, 1 + L % 8, L % 251
+                payload = encode_bmp(np.full((h, w, 3), v, np.uint8))
+                img = decode_image(payload)
+                rs = nearest_resize(img, 4, 3)
+                out["doc_id"].append(doc_id)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_bytes"].append(len(payload))
+                out["pixel_sum"].append(int(img.astype(np.int64).sum()))
+                out["resized_sum"].append(int(rs.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        op,
+        schema="doc_id long, width long, height long, n_bytes long, "
+        "pixel_sum long, resized_sum long",
+    )
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+       CAST(1 + (L % 16) AS BIGINT) AS width,
+       CAST(1 + (L % 8) AS BIGINT) AS height,
+       CAST(54 + ((((1 + (L % 16)) * 3 + 3) // 4) * 4) * (1 + (L % 8))
+            AS BIGINT) AS n_bytes,
+       CAST((1 + (L % 16)) * (1 + (L % 8)) * 3 * (L % 251) AS BIGINT)
+            AS pixel_sum,
+       CAST(4 * 3 * 3 * (L % 251) AS BIGINT) AS resized_sum
+FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
+"""
+
+
 def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy-hitters: explode → count → global top-20 with a
     deterministic tiebreak (the token-frequency stat a training-data
@@ -1783,6 +1841,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
