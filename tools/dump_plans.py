@@ -113,9 +113,32 @@ def main() -> None:
             "Banded hyperplane near-dup (embedding dedup)",
             "Banded signatures via one MapInArrow matmul over the scan; "
             "candidate pairs from an equi-join on (band, bucket); exact "
-            "cosine verify only on deduplicated candidates. No cartesian "
-            "product node anywhere.",
+            "cosine verify only on deduplicated candidates — itself a "
+            "MapInArrow einsum kernel with the threshold filter INSIDE it "
+            "(rows below tau never cross the Arrow boundary). No cartesian "
+            "product node anywhere, no higher-order-function expressions.",
             plan_of(cosine_near_dup_pairs(emb, threshold=0.5, dim=64)),
+        )
+    )
+
+    from logstash_forwarder_spark.operators.similarity import brute_force_topk
+
+    sections.append(
+        (
+            "Exact cosine top-k (brute_force_topk)",
+            "Query side broadcast (IdentityBroadcastMode under "
+            "BroadcastNestedLoopJoin — the |C|x|Q| product is the spec); "
+            "scoring is ONE MapInArrow einsum kernel per batch (round-2's "
+            "interpreted F.aggregate fold is gone: similarity_topk "
+            "1.52 s -> 0.42 s at sf0.1); a single Exchange on query_id "
+            "feeds the top-k window.",
+            plan_of(
+                brute_force_topk(
+                    emb.filter(F.col("vec_id") < 5),
+                    emb.filter(F.col("vec_id") >= 5),
+                    k=5,
+                )
+            ),
         )
     )
 
