@@ -1063,6 +1063,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star contraction
+    (connected_components_star — O(log² n) rounds independent of graph
+    diameter, the web-scale alternative when pair graphs may chain).
+    Identical oracle as dedup_clusters: both algorithms must reach the
+    same component minima."""
+    from .operators.graph import connected_components_star
+
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components_star(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD})),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1851,6 +1865,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),

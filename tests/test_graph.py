@@ -95,3 +95,54 @@ def test_checkpoint_storage_released_on_failure(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
     assert _stored_rdds(spark) <= base
+
+
+def _run_star(spark, edges):
+    from logstash_forwarder_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.cluster for r in connected_components_star(df).collect()
+    }
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    rng = random.Random(23)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run_star(spark, edges) == _reference(edges)
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    """The case propagation cannot do: a 400-node path (diameter 399).
+    Star contraction must converge well within 20 rounds (≈ log² n) —
+    propagation would need 399."""
+    edges = [(i, i + 1) for i in range(400)]
+    from logstash_forwarder_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.cluster
+        for r in connected_components_star(df, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(401)}
+
+
+def test_star_agrees_with_propagation(spark):
+    rng = random.Random(5)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run_star(spark, edges) == _run(spark, edges)
+
+
+def test_star_parallelism_invariant_and_storage(spark):
+    from logstash_forwarder_spark.operators.graph import connected_components_star
+
+    base = _stored_rdds(spark)
+    edges = [(i, i + 1) for i in range(30)] + [(100, 101)]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df5 = spark.createDataFrame(edges, "src long, dst long").repartition(5)
+    a = {r.node: r.cluster for r in connected_components_star(df1).collect()}
+    b = {r.node: r.cluster for r in connected_components_star(df5).collect()}
+    assert a == b == _reference(edges)
+    assert _stored_rdds(spark) <= base + 2  # final edge sets only
