@@ -78,3 +78,33 @@ def test_run_cli_snapshots_and_as_of(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(res["sink_rows"]) == {s["sink"] for s in snaps}
     assert sum(res["sink_rows"].values()) == 2000
+
+
+def test_run_cli_manifest_mode(spark, tmp_path, capsys):
+    """--commit-mode manifest: same CLI surface, rename-free protocol;
+    exactly-once resume and manifest-resolved reads."""
+    out = str(tmp_path / "outm")
+    rc = main(["--gen", "800", "--out", out, "--run-id", "m1", "--commit-mode", "manifest"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 800
+    assert len(summary["sinks_committed"]) == 4
+
+    rc = main(["--gen", "800", "--out", out, "--run-id", "m1", "--commit-mode", "manifest"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 0 and len(summary["sinks_skipped"]) == 4
+
+    import os
+
+    from logstash_forwarder_spark.pipeline import read_sink
+    from logstash_forwarder_spark.plans.manifest import read_manifest
+
+    run_dir = os.path.join(out, "run_id=m1")
+    total = 0
+    for s in summary["sinks_skipped"]:
+        m = read_manifest(run_dir, s)
+        assert m is not None
+        if m["files"]:
+            total += read_sink(spark, out, "m1", s).count()
+    assert total == 800
