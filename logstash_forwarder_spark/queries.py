@@ -732,6 +732,27 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("query_id", "rank", "neighbor_id")
 
 
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5 in exhaustive-probe mode: probing every bucket
+    within hamming radius = n_planes makes multi-probe LSH EXACT (every
+    candidate shares some probed bucket), so the whole machinery — kernel
+    signatures, probe explosion, bucket equi-join, kernel re-rank — is
+    gated against the brute-force DuckDB oracle, the same trick
+    q_similarity_ivf uses. The approximate setting (small radius) is
+    recall-tested in tests/test_similarity.py."""
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = lsh_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=5,
+        n_planes=8,
+        hamming_radius=8,
+    )
+    return got.select("query_id", "rank", "neighbor_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH + exact
     verify. τ=0.5 so the oracle comparison is non-vacuous on the testdata
@@ -1851,8 +1872,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
     "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    # exhaustive-probe IVF is exact → same oracle as brute force
+    # exhaustive-probe IVF / LSH are exact → same oracle as brute force
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
+    "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
