@@ -157,3 +157,49 @@ def test_resize_media_real_codec_end_to_end(spark):
     # non-image rows pass through untouched
     assert bytes(got["m-aud"].payload) == b"\x01\x02\x03"
     assert bytes(got["m-vid"].payload) == b"\x04\x05"
+
+
+# ---- hypothesis property sweep (pure functions; no Spark session) -------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        fmt=st.sampled_from(["bmp", "ppm", "pgm"]),
+    )
+    def test_property_roundtrip(w, h, seed, fmt):
+        rng = np.random.default_rng(seed)
+        if fmt == "pgm":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            data = encode_ppm(img)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = encode_bmp(img) if fmt == "bmp" else encode_ppm(img)
+        assert np.array_equal(decode_image(data), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 12),
+        tw=st.integers(1, 20),
+        th=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_property_resize(w, h, tw, th, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = nearest_resize(img, tw, th)
+        assert out.shape == (th, tw, 3)
+        # every output pixel is a source pixel; same-size resize is identity
+        assert set(map(tuple, out.reshape(-1, 3))) <= set(
+            map(tuple, img.reshape(-1, 3))
+        )
+        assert np.array_equal(nearest_resize(img, w, h), img)
+
+except ImportError:  # pragma: no cover - hypothesis is in this image
+    pass
