@@ -160,3 +160,26 @@ def test_manifest_time_travel_midpoint(spark, tmp_out, no_dir_rename):
         for s in visible
     )
     assert df.count() == want
+
+
+def test_manifest_empty_sinks(spark, tmp_out, no_dir_rename):
+    """A run whose rows reach only some sinks: the empty sinks still commit
+    (empty manifest + empty lineage), resume skips all four, and readers
+    treat the empty manifests as no-data rather than falling back to
+    directory listing."""
+    seqs = gen_sequences(spark, 1)
+    dim = gen_source_dim(spark)
+    res = run_pipeline(spark, seqs, dim, _spec(tmp_out, "me"))
+    assert len(res.sinks_committed) == 4 and res.rows_staged == 1
+    run_dir = os.path.join(tmp_out, "run_id=me")
+    manifests = {s: read_manifest(run_dir, s) for s in res.sinks_committed}
+    assert all(m is not None for m in manifests.values())
+    n_with_data = sum(1 for m in manifests.values() if m["files"])
+    assert n_with_data >= 1
+    empty = [s for s, m in manifests.items() if not m["files"]]
+    assert len(empty) == 4 - n_with_data
+    for s in empty:
+        with pytest.raises(ValueError, match="no published data"):
+            read_sink(spark, tmp_out, "me", s)
+    res2 = run_pipeline(spark, seqs, dim, _spec(tmp_out, "me"))
+    assert res2.sinks_committed == [] and len(res2.sinks_skipped) == 4
