@@ -131,10 +131,13 @@ def streaming_minhash_candidates(
         out_a, out_b, out_est = [], [], []
         for pdf in pdfs:
             for doc, sig, ts in zip(pdf["doc_id"], pdf["sig"], pdf["_ts"]):
+                if doc in ids:
+                    # at-least-once replay: the first arrival already
+                    # emitted this doc's pairs; re-appending would both
+                    # duplicate state and re-emit on every later collision
+                    continue
                 s = np.asarray(sig, dtype=np.int64)
                 for j, other in enumerate(ids):
-                    if other == doc:
-                        continue  # replay of a doc already in state
                     o = np.asarray(sig_flat[j * k : (j + 1) * k], dtype=np.int64)
                     a, b = (doc, other) if doc < other else (other, doc)
                     out_a.append(a)

@@ -161,3 +161,55 @@ def test_streaming_minhash_candidates_equal_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_minhash_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once upstream replaying a document in a later micro-batch
+    must not duplicate bucket state or re-emit its pairs: output equals the
+    batch pair set of the DEDUPED corpus, each pair exactly once per
+    colliding band."""
+    import datetime as dt
+
+    from logstash_forwarder_spark.operators.dedup import minhash_lsh_pairs
+    from logstash_forwarder_spark.streaming.dedup_stream import (
+        streaming_minhash_candidates,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    rows1 = [("a", base, t0), ("x", "completely different words here entirely", t0)]
+    rows2 = [("a", base, t0), ("b", near, t0)]  # 'a' replayed, 'b' new
+
+    in_dir = str(tmp_path / "rp_in")
+    spark.createDataFrame(rows1, SCHEMA_STR).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, SCHEMA_STR).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_minhash_candidates(stream, horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("rp_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.doc_a, r.doc_b, r.est_jaccard_pct)
+        for r in spark.sql("SELECT * FROM rp_out").collect()
+    ]
+    deduped = spark.createDataFrame(
+        [("a", base, t0), ("x", "completely different words here entirely", t0), ("b", near, t0)],
+        SCHEMA_STR,
+    )
+    batch = {
+        (r.doc_a, r.doc_b, r.est_jaccard_pct)
+        for r in minhash_lsh_pairs(deduped).collect()
+    }
+    assert set(got) == batch
+    assert ("a", "a", 100) not in set(got)  # replay produced no self-pair
