@@ -76,13 +76,26 @@ def _split_file(path: str, buf: bytes):
         )
 
 
+def _maybe_decompress(buf: bytes) -> bytes:
+    """Transparent gzip: rotated logs (`app.log.1.gz`, logrotate's output)
+    harvest like their plain originals — something the reference never
+    could (harvester.go reads raw bytes only). Offsets then index the
+    DECOMPRESSED stream: raw gzip is not seekable, so decompressed
+    coordinates are the only stable resume contract for such files."""
+    if buf[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(buf)
+    return buf
+
+
 def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         paths = batch.column("path").to_pylist()
         contents = batch.column("content")
         files, linenos, offs, nexts, lines, compl = [], [], [], [], [], []
         for row, path in enumerate(paths):
-            buf = contents[row].as_py()
+            buf = _maybe_decompress(contents[row].as_py())
             for ln, s, nx, line, ok in _split_file(path, buf):
                 files.append(path)
                 linenos.append(ln)
@@ -130,7 +143,9 @@ def lines_to_sequences(lines: DataFrame, *, vocab: int = 2_147_483_647) -> DataF
         F.concat_ws(":", "file", F.col("line_no").cast("string")).alias("doc_id"),
         tokens.alias("tokens"),
         F.size(tokens).cast("int").alias("n_tok"),
-        F.regexp_extract("file", r"([^/]+?)(?:\.[^./]*)?$", 1).alias("source"),
+        F.regexp_extract("file", r"([^/]+?)(?:\.[^./]*)?(?:\.gz)?$", 1).alias(
+            "source"
+        ),
     )
 
 

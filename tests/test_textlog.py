@@ -124,3 +124,40 @@ def test_roundtrip_against_python_reference(spark, tmp_path):
     assert rows[0].byte_offset == 0
     for prev, cur in zip(rows, rows[1:]):
         assert prev.next_offset == cur.byte_offset
+
+
+def test_gzip_harvest_equals_plain(spark, tmp_path):
+    """A gzip-rotated log harvests identically to its plain original —
+    same lines, same (decompressed-stream) offsets — and its source stem
+    drops both extensions."""
+    import gzip as _gzip
+
+    from logstash_forwarder_spark.sources.textlog import (
+        harvest_text_files,
+        lines_to_sequences,
+    )
+
+    content = b"alpha beta\ngamma delta epsilon\r\nzeta\npartial tail"
+    d = tmp_path / "gz"
+    d.mkdir()
+    (d / "app.log").write_bytes(content)
+    (d / "rotated.log.gz").write_bytes(_gzip.compress(content))
+
+    rows = harvest_text_files(spark, f"{d}/*").collect()
+    plain = sorted(
+        (r.line_no, r.byte_offset, r.next_offset, r.line, r.is_complete)
+        for r in rows
+        if r.file.endswith("app.log")
+    )
+    gz = sorted(
+        (r.line_no, r.byte_offset, r.next_offset, r.line, r.is_complete)
+        for r in rows
+        if r.file.endswith("rotated.log.gz")
+    )
+    assert plain == gz and len(plain) == 4
+    assert plain[1][3] == "gamma delta epsilon"  # CRLF stripped
+    assert plain[-1][4] is False  # unterminated tail flagged
+
+    seqs = lines_to_sequences(harvest_text_files(spark, f"{d}/*"))
+    sources = {r.source for r in seqs.select("source").distinct().collect()}
+    assert sources == {"app", "rotated"}
