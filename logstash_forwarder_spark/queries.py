@@ -1170,6 +1170,79 @@ def _materialize_log_files(sf_dir: str) -> str:
     return out
 
 
+def _materialize_jsonl_files(sf_dir: str) -> str:
+    """One ``<source>.jsonl`` per source (one JSON object per line with
+    doc_id/text/lang, doc_id order), derived deterministically from
+    documents.parquet — same content-fingerprinted cache + atomic-publish
+    mechanics as _materialize_log_files."""
+    import hashlib
+    import json as _json
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"jsonl\x00{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+    out = os.path.join(
+        "/tmp", f"lfs_jsonl_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text", "lang"],
+    ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
+    for src in pc.unique(tbl["source"]).to_pylist():
+        part = tbl.filter(pc.equal(tbl["source"], src))
+        with open(os.path.join(stage, f"{src}.jsonl"), "w") as fh:
+            for d, t, lg in zip(
+                part["doc_id"].to_pylist(),
+                part["text"].to_pylist(),
+                part["lang"].to_pylist(),
+            ):
+                fh.write(_json.dumps({"doc_id": d, "text": t, "lang": lg}) + "\n")
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:  # concurrent builder won the rename — use theirs
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def q_json_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-event ingestion (sources/jsonlog.py): JSONL files read
+    under an explicit schema with PERMISSIVE corrupt-record quarantine;
+    the JSON escape round-trip must reproduce every document exactly.
+    Oracle recomputes straight from the documents table."""
+    from .sources.jsonlog import read_json_events, split_corrupt
+
+    files_dir = _materialize_jsonl_files(sf_dir)
+    events = read_json_events(
+        spark, f"{files_dir}/*.jsonl", "doc_id long, text string, lang string"
+    )
+    clean, _quarantine = split_corrupt(events)
+    return clean.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars_rt")
+    )
+
+
+SQL_JSON_HARVEST = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_rt FROM documents
+"""
+
+
 def q_harvest_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2+S3 in their native form: glob-discover raw .log files, split
     lines inside a mapInArrow kernel, emit byte-exact offsets (the
@@ -1886,6 +1959,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
+    "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
