@@ -151,3 +151,27 @@ def test_quantiles_null_values_excluded(spark):
     r = length_quantiles(df).collect()[0]
     assert r.n_docs == 3
     assert (r.p25, r.p50, r.p75, r.p95) == (10, 20, 30, 30)
+
+
+def test_grouped_median_histogram_path(spark):
+    """q_grouped_median runs on the bounded-domain histogram
+    (length_quantiles), NOT a whole-group applyInPandas: values must equal
+    the naive lower median, and the executed plan must contain no
+    FlatMapGroupsInPandas node (a hot source's full row set never lands on
+    one worker)."""
+    from logstash_forwarder_spark.queries import q_grouped_median
+
+    q = q_grouped_median(spark, "/root/testdata/sf0.001")
+    rows = {r.source: r for r in q.collect()}
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    # cross-check against a direct pandas lower median on the same table
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["source", "n_chars"]
+    ]
+    for src, grp in pdf.groupby("source"):
+        v = grp["n_chars"].sort_values().reset_index(drop=True)
+        assert rows[src].median_chars == int(v.iloc[(len(v) - 1) // 2]), src
+        assert rows[src].n_docs == len(v)

@@ -52,6 +52,11 @@ def frame_key(cols, rows):
 
 
 def main() -> int:
+    # optional argv: query names to check (default all); `--no-entry` skips
+    # the entry() smoke so a single-query spot-check stays fast.
+    argv = [a for a in sys.argv[1:]]
+    run_entry = "--no-entry" not in argv
+    only = {a for a in argv if not a.startswith("--")}
     spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -61,6 +66,8 @@ def main() -> int:
     oracles = oracle_sql()
     failures = 0
     for name, fn in queries().items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
@@ -107,11 +114,12 @@ def main() -> int:
                     print(f"   spark={x}\n   duck ={y}")
         else:
             print(f"OK   {name}: {len(srows)} rows")
-    e = entry(spark)
-    n = e.count()
-    print(f"entry(): {n} rows, schema={e.schema.simpleString()}")
-    if n <= 0:
-        failures += 1
+    if run_entry:
+        e = entry(spark)
+        n = e.count()
+        print(f"entry(): {n} rows, schema={e.schema.simpleString()}")
+        if n <= 0:
+            failures += 1
     return failures
 
 
