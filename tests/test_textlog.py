@@ -161,3 +161,55 @@ def test_gzip_harvest_equals_plain(spark, tmp_path):
     seqs = lines_to_sequences(harvest_text_files(spark, f"{d}/*"))
     sources = {r.source for r in seqs.select("source").distinct().collect()}
     assert sources == {"app", "rotated"}
+
+
+# ---- hypothesis property sweep: vectorized splitter vs readline oracle ----
+def test_split_file_arrays_property():
+    """The Arrow-vectorized splitter must agree byte-for-byte with a naive
+    per-line readline reference on arbitrary byte soup (including invalid
+    UTF-8, CRLF, doubled \\r, unterminated tails, empty lines)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logstash_forwarder_spark.sources.textlog import _split_file_arrays
+
+    def oracle(buf: bytes):
+        out, pos, ln = [], 0, 0
+        while pos < len(buf):
+            nl = buf.find(b"\n", pos)
+            end = len(buf) if nl < 0 else nl
+            complete = nl >= 0
+            body_end = end
+            if body_end > pos and buf[body_end - 1] == 0x0D:
+                body_end -= 1
+            out.append(
+                (
+                    ln,
+                    pos,
+                    end + 1 if complete else end,
+                    buf[pos:body_end].decode("utf-8", errors="replace"),
+                    complete,
+                )
+            )
+            ln += 1
+            pos = end + 1
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.binary(max_size=400)
+        | st.text(alphabet="ab\r\né", max_size=200).map(lambda s: s.encode())
+    )
+    def check(buf):
+        got = _split_file_arrays(buf)
+        exp = oracle(buf)
+        if got is None:
+            assert exp == []
+            return
+        ln, so, nx, lines, comp = got
+        gl = list(
+            zip(ln.tolist(), so.tolist(), nx.tolist(), lines.to_pylist(), comp.tolist())
+        )
+        assert gl == exp
+
+    check()
