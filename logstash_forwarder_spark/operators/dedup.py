@@ -224,15 +224,14 @@ def _mix3(h1, h2, h3, seed: int):
         return h ^ (h >> np.uint64(29))
 
 
-def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
-    """Per Arrow batch: normalized word n-gram shingle hashes, distinct per
-    row. Returns (seg_rows, seg_starts, dhash, dcounts, wlens):
+def _shingle_occurrences(batch, text_name: str, n: int, seed: int):
+    """Per Arrow batch: EVERY normalized word n-gram occurrence with its
+    0-based start word position. Returns (row_of_sh, within, sh, wlens):
 
-    * seg_rows   — batch row indices that have ≥1 shingle (ascending)
-    * seg_starts — start offset of each row's segment inside ``dhash``
-    * dhash      — uint64 distinct shingle hashes, grouped by row
-    * dcounts    — distinct-shingle count per present row
-    * wlens      — word count per row (ALL rows, not just present ones)
+    * row_of_sh — batch row index of each occurrence (ascending runs)
+    * within    — 0-based word position of the gram's first word
+    * sh        — uint64 shingle hash per occurrence
+    * wlens     — word count per row (ALL rows)
 
     Word strings are hashed once (pandas' vectorized 64-bit string hash);
     shingle hashes combine n consecutive word hashes arithmetically, so no
@@ -260,15 +259,35 @@ def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
 
     slens = np.maximum(wlens - (n - 1), 0)
     total_sh = int(slens.sum())
-    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
-             np.empty(0, np.uint64), np.empty(0, np.int64), wlens)
     if not total_sh:
-        return empty
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint64), wlens)
     row_of_sh = np.repeat(np.arange(len(slens), dtype=np.int64), slens)
     seg0 = np.cumsum(slens) - slens
     within = np.arange(total_sh, dtype=np.int64) - np.repeat(seg0, slens)
     pos = starts[row_of_sh] + within
     sh = _mix_n(wh, pos, n, seed)
+    return row_of_sh, within, sh, wlens
+
+
+def _distinct_shingle_hashes(batch, text_name: str, n: int, seed: int):
+    """Per Arrow batch: normalized word n-gram shingle hashes, distinct per
+    row. Returns (seg_rows, seg_starts, dhash, dcounts, wlens):
+
+    * seg_rows   — batch row indices that have ≥1 shingle (ascending)
+    * seg_starts — start offset of each row's segment inside ``dhash``
+    * dhash      — uint64 distinct shingle hashes, grouped by row
+    * dcounts    — distinct-shingle count per present row
+    * wlens      — word count per row (ALL rows, not just present ones)
+    """
+    import numpy as np
+
+    row_of_sh, _within, sh, wlens = _shingle_occurrences(batch, text_name, n, seed)
+    total_sh = len(sh)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.uint64), np.empty(0, np.int64), wlens)
+    if not total_sh:
+        return empty
 
     # distinct per row: sort (row, hash), drop consecutive duplicates
     order = np.lexsort((sh, row_of_sh))
@@ -638,6 +657,118 @@ def edit_near_dup_pairs(
         .withColumn("dist", dist.cast("long"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("doc_a", "doc_b", "dist")
+    )
+
+
+def shingle_pos_relation(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, pos:bigint, sh:bigint) — one row per n-gram OCCURRENCE with its
+    0-based start word position. Same Arrow kernel as
+    ``shingle_hash_relation`` but without the per-doc distinct: the input
+    to positional span operations (``span_cut``), where repeated grams
+    inside one doc matter."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(batches):
+        for b in batches:
+            row_of_sh, within, sh, _wl = _shingle_occurrences(b, text_col, n, seed)
+            idx = b.schema.get_field_index(id_col)
+            ids = b.column(idx).take(pa.array(row_of_sh, pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(within, pa.int64()),
+                 pa.array(sh.view(np.int64), pa.int64())],
+                names=[id_col, "pos", "sh"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        op, schema=f"{id_col} {id_type}, pos bigint, sh bigint"
+    )
+
+
+def span_cut(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level exact-substring REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): every duplicated word
+    n-gram keeps its globally-first occurrence and every other occurrence
+    is cut — a word is removed when any removed gram occurrence covers it.
+
+    The suffix-array machinery of the paper is re-expressed relationally:
+
+    1. kernel gram-occurrence relation (id, pos, sh) — 8-byte keys,
+       emitted inside the scan, O(corpus words) rows;
+    2. ONE sh-keyed exchange: ``row_number() OVER (PARTITION BY sh ORDER
+       BY id, pos)`` — occurrence rn >= 2 is a removed span start (rn >= 2
+       implies corpus frequency >= 2, and the min (id, pos) occurrence is
+       the deterministic survivor). No df-count pre-pass, no pair
+       enumeration — O(corpus), not O(pairs);
+    3. ONE doc-keyed exchange: dense word positions + a
+       ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` running max over the
+       span-start flags marks covered words (positions are dense, so the
+       row-frame IS the word-distance predicate), and the same partition
+       reassembles the kept text.
+
+    Decisions depend only on gram IDENTITY (grouping), never on hash
+    values, so an engine with a different hash — or the DuckDB oracle on
+    gram strings — reproduces the output bit-for-bit (64-bit collisions
+    birthday-bounded as in ``ngram_jaccard_pairs``).
+
+    Hottest gram = largest window partition in step 2; boilerplate grams
+    with millions of occurrences sort within one partition. AQE skew-join
+    handles the join back; if one gram dominates a corpus, cap it upstream
+    the way ``max_shingle_df`` does for Jaccard (every occurrence past the
+    cap is removed anyway — only the survivor matters).
+
+    Output: (id, n_words, n_removed, kept_text) — integer-exact counts
+    over the normalized word list; ``kept_text`` is the space-joined
+    surviving words ('' when everything was cut).
+    """
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(_norm(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("w_pos", "word"),
+    )
+    occ = shingle_pos_relation(df, id_col=id_col, text_col=text_col, n=n)
+    w_rn = W.partitionBy("sh").orderBy(id_col, "pos")
+    spans = (
+        occ.withColumn("_rn", F.row_number().over(w_rn))
+        .filter(F.col("_rn") >= 2)
+        .select(F.col(id_col), F.col("pos").alias("w_pos"), F.lit(1).alias("_cut"))
+    )
+    w_cov = (
+        W.partitionBy(id_col)
+        .orderBy("w_pos")
+        .rowsBetween(-(n - 1), W.currentRow)
+    )
+    covered = F.max(F.coalesce("_cut", F.lit(0))).over(w_cov)
+    marked = words.join(spans, [id_col, "w_pos"], "left").withColumn(
+        "_cov", covered
+    )
+    kept_struct = F.when(F.col("_cov") == 0, F.struct("w_pos", "word"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_cov").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["word"]
+            ),
+            " ",
+        ).alias("kept_text"),
     )
 
 

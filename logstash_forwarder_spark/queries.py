@@ -1673,6 +1673,51 @@ FROM words w LEFT JOIN per USING (doc_id)
 """
 
 
+def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring REMOVAL (operators/dedup.py span_cut):
+    duplicated word 8-grams keep their globally-first occurrence, every
+    other occurrence is cut, covered words drop out, and the surviving
+    text is reassembled — the operation the `span_dedup` triage stat
+    motivates (Lee et al.). One sh-keyed exchange (row_number per gram) +
+    one doc-keyed exchange (dense-position coverage max + reassembly)."""
+    from .operators.dedup import span_cut
+
+    return span_cut(_docs(spark, sf_dir), n=8)
+
+
+SQL_SPAN_CUT = r"""
+WITH words0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+words AS (
+  SELECT doc_id, i - 1 AS w_pos, w[i] AS word
+  FROM words0, UNNEST(generate_series(1, len(w))) AS t(i)),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS gram
+  FROM words0, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8),
+spans AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM occ)
+  WHERE rn >= 2),
+cov AS (
+  SELECT w.doc_id, w.w_pos, w.word,
+         max(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY w.doc_id ORDER BY w.w_pos
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+  FROM words w LEFT JOIN spans s ON s.doc_id = w.doc_id AND s.pos = w.w_pos)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(covered) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN covered = 0 THEN word END, ' ' ORDER BY w_pos), '') AS kept_text
+FROM cov GROUP BY doc_id
+"""
+
+
 def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — 3-way star join: filtered customer dim broadcast
     into orders, orders shuffle-joined to lineitem on the co-key, top-10
@@ -1928,6 +1973,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     # -- new this round --
+    "span_cut": (q_span_cut, SQL_SPAN_CUT),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),

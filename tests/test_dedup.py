@@ -422,3 +422,33 @@ def test_sketch_text_property_vs_naive(text):
     for bit in range(32):
         want = 1 if 2 * sum((h >> bit) & 1 for h in hs) >= len(hs) else 0
         assert (sim >> bit) & 1 == want
+
+
+def test_span_cut_hand_countable(spark):
+    """Duplicated 8-gram spans: first occurrence (min doc_id, then min
+    pos) survives, later occurrences lose every covered word; unique text
+    is untouched; short docs (<8 words) pass through whole."""
+    from logstash_forwarder_spark.operators.dedup import span_cut
+
+    boiler = "the quick brown fox jumps over the lazy"  # exactly 8 words
+    rows = [
+        (1, f"intro one two {boiler} tail alpha"),
+        (2, f"{boiler} something completely different here now ok"),
+        (3, "short doc only"),
+        (4, f"pre {boiler} post {boiler} end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_cut(df, n=8).collect()}
+
+    # doc 1 owns the gram (min doc_id; its pos 3 is the first occurrence)
+    assert out[1].n_removed == 0
+    assert out[1].kept_text == f"intro one two {boiler} tail alpha"
+    # doc 2's copy at pos 0 is cut: 8 words removed
+    assert out[2].n_removed == 8
+    assert out[2].kept_text == "something completely different here now ok"
+    # short doc: no grams, nothing cut
+    assert out[3].n_removed == 0 and out[3].kept_text == "short doc only"
+    # doc 4 has the gram twice (pos 1 and pos 10): both lose to doc 1
+    assert out[4].n_removed == 16
+    assert out[4].kept_text == "pre post end"
+    assert all(out[i].n_words == len(rows[i - 1][1].split()) for i in out)
