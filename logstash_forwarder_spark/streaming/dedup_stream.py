@@ -80,10 +80,19 @@ def streaming_minhash_candidates(
     state ∝ docs per horizon × bands, independent of stream lifetime.
 
     Pair semantics match the batch operator (doc_a < doc_b, est =
-    floor(matching_slots × 100 / k)) except that a pair colliding in
-    multiple bands is emitted once per colliding band — cross-band dedup
-    needs a second stateful stage; dedup downstream (est is identical for
-    every emission of a pair, so a plain distinct suffices).
+    floor(matching_slots × 100 / k)), and emission is EXACTLY-ONCE per
+    pair with no second stage and no downstream distinct: every band's
+    state holds both members' FULL signatures, so each band locally
+    computes the set of bands whose signature slices match and only the
+    MINIMAL matching band emits. All bands see the same arrivals in the
+    same order with the same eviction horizon, so exactly one of them
+    elects itself. (The election criterion is slice equality, which is
+    what bucket = xxhash64(slice) equality means short of a 64-bit hash
+    collision; a freak bucket-only collision with differing slices is
+    suppressed here while the batch path would emit it as a candidate.)
+
+    ``doc_a``/``doc_b`` and the state ids take ``id_col``'s actual type
+    (string or int64 both work at the Arrow boundary).
     """
     from ..operators.dedup import (
         DEFAULT_BANDS,
@@ -126,6 +135,7 @@ def streaming_minhash_candidates(
     )
 
     def update(key, pdfs, state: GroupState):
+        band = int(key[0])
         ids, sig_flat, tss = state.get if state.exists else ([], [], [])
         ids, sig_flat, tss = list(ids), list(sig_flat), list(tss)
         out_a, out_b, out_est = [], [], []
@@ -137,8 +147,14 @@ def streaming_minhash_candidates(
                     # duplicate state and re-emit on every later collision
                     continue
                 s = np.asarray(sig, dtype=np.int64)
+                sm = s.reshape(bands, rows_per_band)
                 for j, other in enumerate(ids):
                     o = np.asarray(sig_flat[j * k : (j + 1) * k], dtype=np.int64)
+                    # exactly-once election: emit only from the minimal
+                    # band whose signature slices match for this pair
+                    eq = (sm == o.reshape(bands, rows_per_band)).all(axis=1)
+                    if not eq.any() or int(np.flatnonzero(eq)[0]) != band:
+                        continue
                     a, b = (doc, other) if doc < other else (other, doc)
                     out_a.append(a)
                     out_b.append(b)
@@ -164,10 +180,11 @@ def streaming_minhash_candidates(
             {"doc_a": out_a, "doc_b": out_b, "est_jaccard_pct": out_est}
         )
 
+    idt = stream_df.schema[id_col].dataType.simpleString()
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         update,
-        outputStructType="doc_a string, doc_b string, est_jaccard_pct long",
-        stateStructType="ids array<string>, sigs array<long>, tss array<long>",
+        outputStructType=f"doc_a {idt}, doc_b {idt}, est_jaccard_pct long",
+        stateStructType=f"ids array<{idt}>, sigs array<long>, tss array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -154,20 +154,22 @@ def test_streaming_minhash_candidates_equal_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    got = {
+    got = [
         (r.doc_a, r.doc_b, r.est_jaccard_pct)
         for r in spark.sql(
-            "SELECT DISTINCT doc_a, doc_b, est_jaccard_pct FROM nd_out"
+            "SELECT doc_a, doc_b, est_jaccard_pct FROM nd_out"
         ).collect()
-    }
-    assert got == batch
+    ]
+    # exactly-once emission: MULTISET equality, no downstream distinct —
+    # a pair colliding in several bands is emitted by its minimal band only
+    assert len(got) == len(set(got))
+    assert set(got) == batch
 
 
 def test_streaming_minhash_replay_is_idempotent(spark, tmp_path):
     """An at-least-once upstream replaying a document in a later micro-batch
     must not duplicate bucket state or re-emit its pairs: output equals the
-    batch pair set of the DEDUPED corpus, each pair exactly once per
-    colliding band."""
+    batch pair set of the DEDUPED corpus, each pair exactly once."""
     import datetime as dt
 
     from logstash_forwarder_spark.operators.dedup import minhash_lsh_pairs
@@ -212,4 +214,46 @@ def test_streaming_minhash_replay_is_idempotent(spark, tmp_path):
         for r in minhash_lsh_pairs(deduped).collect()
     }
     assert set(got) == batch
+    assert len(got) == len(set(got))  # exactly once, even across bands
     assert ("a", "a", 100) not in set(got)  # replay produced no self-pair
+
+
+def test_streaming_minhash_int64_ids(spark, tmp_path):
+    """ADVICE r3: id typing must follow id_col's actual type — int64
+    doc_ids (the repo's canonical documents schema) must round-trip the
+    applyInPandasWithState boundary, state ids included."""
+    import datetime as dt
+
+    from logstash_forwarder_spark.streaming.dedup_stream import (
+        streaming_minhash_candidates,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    in_dir = str(tmp_path / "int_in")
+    spark.createDataFrame([(7, base, t0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame([(9, near, t0)], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_minhash_candidates(stream, horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("int_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.doc_a, r.doc_b) for r in spark.sql("SELECT * FROM int_out").collect()
+    ]
+    assert got == [(7, 9)]
+    assert all(isinstance(a, int) and isinstance(b, int) for a, b in got)
