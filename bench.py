@@ -130,6 +130,15 @@ def main() -> None:
     # reported number; every trial is published for transparency.
     trials = timed_trials(one_trial, n_trials=2, agree=0.20, max_attempts=6)
     e2e = best(trials)["sec"]
+    from logstash_forwarder_spark.benchutil import consensus_reached
+
+    e2e_consensus = consensus_reached(trials)
+    if not e2e_consensus:
+        print(
+            "# WARNING: e2e trials hit the attempt cap without consensus — "
+            "the headline is a noisy minimum, not a certified figure",
+            file=sys.stderr,
+        )
 
     from logstash_forwarder_spark.queries import registry
 
@@ -170,6 +179,7 @@ def main() -> None:
                 "sequences_per_sec": round(n_rows / e2e),
                 "cpus": cpus,
                 "trials": trials,
+                "e2e_consensus": e2e_consensus,
                 "scaling": _scaling_result(),
             }
         )

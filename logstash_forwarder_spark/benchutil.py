@@ -81,8 +81,21 @@ def timed_trials(
         if steal_gate is not None and frac > steal_gate:
             rec["gated"] = True
         out.append(rec)
+    if not satisfied():
+        # attempt cap hit without consensus/quota: the minimum is a noisy
+        # sample, not a certified figure — mark every record so callers
+        # (bench.py) can surface it instead of reporting it as consensus
+        # (ADVICE r3)
+        for rec in out:
+            rec["consensus"] = False
     return out
 
 
 def best(trials: list[dict]) -> dict:
     return min(trials, key=lambda t: t["sec"])
+
+
+def consensus_reached(trials: list[dict]) -> bool:
+    """False iff timed_trials exhausted its attempt cap without satisfying
+    the quiet-sample quota / agreement tolerance."""
+    return all(t.get("consensus", True) for t in trials)

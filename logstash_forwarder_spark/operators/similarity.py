@@ -77,9 +77,17 @@ def score_pairs_arrow(
     This is the verify/re-rank stage of every similarity path here —
     candidate GENERATION was already kernel-side (banded_signatures), and
     the per-candidate ``F.aggregate`` fold this replaces was the interpreted
-    hotspot at high candidate volume (VERDICT r2 #3)."""
+    hotspot at high candidate volume (VERDICT r2 #3).
+
+    Degenerate rows (either vector NULL or empty) get a NULL ``out_col``
+    — the semantics of the HOF ``cosine`` expression this kernel replaced
+    — and with ``threshold`` set they are dropped (NULL fails any
+    threshold, as the expression + filter form would). Non-uniform vector
+    widths in one batch raise a clear ValueError instead of an opaque
+    reshape failure (ADVICE r3)."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
     out_schema = ", ".join(
@@ -92,24 +100,46 @@ def score_pairs_arrow(
         for b in batches:
             ca = b.column(b.schema.get_field_index(a_col))
             cb = b.column(b.schema.get_field_index(b_col))
-            A = _list_as_matrix(ca, np)
-            B = _list_as_matrix(cb, np)
-            if not len(A):
+            la = pc.fill_null(pc.list_value_length(ca), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            lb = pc.fill_null(pc.list_value_length(cb), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            n = len(la)
+            if n == 0:
                 continue
-            num = np.einsum("ij,ij->i", A, B)
-            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            den[den == 0] = 1.0
-            cos = num / den
-            cols = [b.column(b.schema.get_field_index(n)) for n in keep_names]
+            valid = (la > 0) & (lb > 0)
+            cos = np.full(n, np.nan)
+            if valid.any():
+                dims = np.unique(np.concatenate((la[valid], lb[valid])))
+                if len(dims) != 1:
+                    raise ValueError(
+                        f"score_pairs_arrow: non-uniform vector widths "
+                        f"{dims.tolist()} in one batch — fixed-dim "
+                        f"embeddings required in '{a_col}'/'{b_col}'"
+                    )
+                if valid.all():
+                    A = _list_as_matrix(ca, np)
+                    B = _list_as_matrix(cb, np)
+                else:
+                    vidx = pa.array(np.flatnonzero(valid))
+                    A = _list_as_matrix(ca.take(vidx), np)
+                    B = _list_as_matrix(cb.take(vidx), np)
+                num = np.einsum("ij,ij->i", A, B)
+                den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                den[den == 0] = 1.0
+                cos[valid] = num / den
+            cols = [b.column(b.schema.get_field_index(nm)) for nm in keep_names]
             if threshold is not None:
-                sel = cos >= threshold
+                sel = valid & (cos >= threshold)
                 if not sel.any():
                     continue
                 idx = pa.array(np.flatnonzero(sel))
                 cols = [c.take(idx) for c in cols]
-                cos = cos[sel]
+                cos, valid = cos[sel], valid[sel]
             yield pa.RecordBatch.from_arrays(
-                cols + [pa.array(cos, pa.float64())],
+                cols + [pa.array(cos, pa.float64(), mask=~valid)],
                 names=keep_names + [out_col],
             )
 

@@ -15,10 +15,18 @@ reference's own write-temp-then-rename-one-file trick at
 * crash recovery = delete unreferenced files and redo — readers never saw
   them because no manifest named them.
 
-Only single-FILE atomic swaps remain (`_publish_file`), which object-store
+Scope of the rename-free claim: the PUBLISH/COMMIT layer. At this layer
+only single-FILE atomic swaps remain (`_publish_file`), which object-store
 catalogs provide (S3 conditional PUT, GCS preconditions); directory renames
 are gone — enforced in tests by a shim that makes `os.replace` raise on
-directories (tests/test_manifest_commit.py).
+directories (tests/test_manifest_commit.py). The DATA-WRITE path underneath
+(`df.write...parquet()`) still commits tasks through Hadoop's
+FileOutputCommitter, which renames `_temporary` task directories JVM-side;
+manifest gating keeps READS correct on an object store regardless (a file
+is visible only once a manifest names it), but a real object-store
+deployment should additionally configure a store-appropriate output
+committer (e.g. the S3A magic committer) so the data writes themselves
+avoid copy-and-delete renames.
 """
 
 from __future__ import annotations

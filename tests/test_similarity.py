@@ -206,3 +206,34 @@ def test_cosine_near_dup_recall_banded(spark):
         va, vb = vec[a], vec[b]
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         assert cos >= 0.90 - 1e-9
+
+
+def test_score_pairs_degenerate_rows(spark):
+    """ADVICE r3: NULL/empty vectors get NULL cos (the replaced HOF
+    expression's semantics) instead of silently vanishing; with a
+    threshold they are dropped; mixed widths raise a clear error."""
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.operators.similarity import score_pairs_arrow
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, [], [1.0, 0.0]),
+        (3, None, [0.0, 1.0]),
+        (4, [0.0, 1.0], [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, va array<double>, vb array<double>"
+    )
+    out = {r.id: r.cos for r in score_pairs_arrow(df, "va", "vb").collect()}
+    assert out[1] == 1.0 and out[4] == 1.0
+    assert out[2] is None and out[3] is None
+    thr = score_pairs_arrow(df, "va", "vb", threshold=0.5).collect()
+    assert sorted(r.id for r in thr) == [1, 4]
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0])],
+        "id long, va array<double>, vb array<double>",
+    )
+    with _pytest.raises(Exception, match="non-uniform vector widths"):
+        score_pairs_arrow(mixed.coalesce(1), "va", "vb").collect()
