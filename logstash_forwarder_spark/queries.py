@@ -1835,7 +1835,7 @@ WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 6 PRECEDING AND 
 
 
 def q_curation_ledger(
-    spark: SparkSession, sf_dir: str, *, materialize: bool = False
+    spark: SparkSession, sf_dir: str, *, materialize: bool | None = None
 ) -> DataFrame:
     """The curation audit ledger — one row per doc with every removal
     rule's verdict (the provenance artifact a corpus pipeline ships so
@@ -1852,14 +1852,29 @@ def q_curation_ledger(
     final assembly = doc_id-keyed left joins of doc_id-only relations.
     Spark recomputes a DataFrame per DAG branch, so WITHOUT
     materialization the shingle kernel physically runs once per split —
-    pass ``materialize=True`` (production setting: localCheckpoint the
-    relation) to pin it to one pass; the default stays lazy because the
-    sf0.01 gate is cheaper re-run than stored. NULL text folds to the
+    ``materialize=True`` (localCheckpoint) pins it to one pass. The
+    default (None) decides by input size from the parquet FOOTER (a
+    driver-side metadata read, no job): non-trivial corpora (> 2000
+    docs — any production input) auto-materialize; the tiny oracle-gate
+    fixtures stay lazy because re-running the kernel is cheaper than
+    storing it. Explicit True/False still overrides (the seam the
+    plan-count test drives). NULL text folds to the
     '' fingerprint/word group (coalesce on both engines) so the ledger
     keeps its one-row-per-doc contract for exactly the docs most likely
     to be dropped."""
     from .operators.curate import repetition_stats
     from .operators.dedup import _norm, shingle_hash_relation
+
+    if materialize is None:
+        try:
+            import pyarrow.parquet as pq
+
+            materialize = (
+                pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+                > 2000
+            )
+        except Exception:
+            materialize = False  # unreadable footer → lazy (safe default)
 
     d = _docs(spark, sf_dir)
     is_bench = F.col("doc_id") % 97 == 0

@@ -202,3 +202,12 @@ def test_curation_ledger_materialized_single_kernel_pass(spark):
     lazy.collect()
     assert len(shingle_kernels(lazy)) > 0  # lazy recomputes it per DAG branch
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, rows))
+
+    # auto heuristic: tiny fixture (500 docs) stays lazy by default;
+    # sf0.1 (5000 docs) auto-materializes without the caller opting in
+    auto_small = q_curation_ledger(spark, sf)
+    auto_small.collect()
+    assert len(shingle_kernels(auto_small)) > 0
+    auto_big = q_curation_ledger(spark, "/root/testdata/sf0.1")
+    auto_big.collect()
+    assert shingle_kernels(auto_big) == []
