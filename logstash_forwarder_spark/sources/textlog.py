@@ -129,46 +129,56 @@ def _maybe_decompress(buf: bytes) -> bytes:
     return buf
 
 
-def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """Per-batch: one vectorized split per file (Python touches each FILE
-    once, never each line), then a single concat per column. The file
-    column is a dictionary gather (np.repeat of path indices) cast to
-    string in C++ — no per-line Python objects anywhere."""
+_HARVEST_NAMES = ["file", "line_no", "byte_offset", "next_offset", "line", "is_complete"]
+
+
+def _assemble_harvest_batch(path_col, per_file) -> pa.RecordBatch:
+    """One RecordBatch from per-file split arrays: ``per_file`` is a list
+    of (path_row_idx, line_no, byte_offset, next_offset, lines, complete).
+    The file column is a dictionary gather (np.repeat of path indices,
+    C++ take) — no per-line Python objects anywhere."""
     import numpy as np
     import pyarrow.compute as pc
 
+    if not per_file:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], t) for t in
+             (pa.string(), pa.int64(), pa.int64(), pa.int64(), pa.string(), pa.bool_())],
+            names=_HARVEST_NAMES,
+        )
+    counts = np.array([len(p[1]) for p in per_file], dtype=np.int64)
+    path_idx = np.repeat(
+        np.array([p[0] for p in per_file], dtype=np.int32), counts
+    )
+    file_col = pc.take(path_col, pa.array(path_idx))
+    if isinstance(file_col, pa.ChunkedArray):  # pragma: no cover
+        file_col = file_col.combine_chunks()
+    return pa.RecordBatch.from_arrays(
+        [
+            file_col,
+            pa.array(np.concatenate([p[1] for p in per_file])),
+            pa.array(np.concatenate([p[2] for p in per_file])),
+            pa.array(np.concatenate([p[3] for p in per_file])),
+            pa.concat_arrays([p[4] for p in per_file]),
+            pa.array(np.concatenate([p[5] for p in per_file])),
+        ],
+        names=_HARVEST_NAMES,
+    )
+
+
+def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Per-batch: one vectorized split per file (Python touches each FILE
+    once, never each line), then a single concat per column."""
     for batch in batches:
         paths = batch.column("path").to_pylist()
         contents = batch.column("content")
-        per_file = []  # (path_idx, line_no, byte_offset, next_offset, lines, complete)
+        per_file = []
         for row, path in enumerate(paths):
             buf = _maybe_decompress(contents[row].as_py())
             split = _split_file_arrays(buf)
             if split is not None:
                 per_file.append((row, *split))
-        if not per_file:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([], t) for t in
-                 (pa.string(), pa.int64(), pa.int64(), pa.int64(), pa.string(), pa.bool_())],
-                names=["file", "line_no", "byte_offset", "next_offset", "line", "is_complete"],
-            )
-            continue
-        counts = np.array([len(p[1]) for p in per_file], dtype=np.int64)
-        path_idx = np.repeat(
-            np.array([p[0] for p in per_file], dtype=np.int32), counts
-        )
-        file_col = pc.take(batch.column("path"), pa.array(path_idx))
-        yield pa.RecordBatch.from_arrays(
-            [
-                file_col.combine_chunks() if isinstance(file_col, pa.ChunkedArray) else file_col,
-                pa.array(np.concatenate([p[1] for p in per_file])),
-                pa.array(np.concatenate([p[2] for p in per_file])),
-                pa.array(np.concatenate([p[3] for p in per_file])),
-                pa.concat_arrays([p[4] for p in per_file]),
-                pa.array(np.concatenate([p[5] for p in per_file])),
-            ],
-            names=["file", "line_no", "byte_offset", "next_offset", "line", "is_complete"],
-        )
+        yield _assemble_harvest_batch(batch.column("path"), per_file)
 
 
 def harvest_text_files(spark, path_glob: str) -> DataFrame:
@@ -226,6 +236,129 @@ def harvest_text_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(path_glob).select("path", "content")
     return raw.mapInArrow(_harvest_kernel, HARVEST_SCHEMA)
+
+
+TAIL_STATE_SCHEMA = "file string, resume_offset long, base_line long"
+
+
+def discover_tails(
+    path_glob: str, state: dict[str, tuple[int, int]]
+) -> list[tuple[str, int, int]]:
+    """One prospector tick (prospector.go:24-78): glob the pattern and
+    return (file, resume_offset, base_line) for every file whose ON-DISK
+    size exceeds its recorded offset — a metadata ``stat`` per file, no
+    content read. New files start at (0, 0). Driver-side by design: the
+    file census is registrar-sized (one entry per file), exactly the state
+    the reference's prospector holds in memory."""
+    import glob as _glob
+    import os
+
+    out = []
+    for p in sorted(_glob.glob(path_glob)):
+        off, base = state.get(p, (0, 0))
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            continue  # rotated away between glob and stat
+        if size > off:
+            out.append((p, off, base))
+    return out
+
+
+def tail_harvest(spark, tails: DataFrame) -> DataFrame:
+    """Harvest only the GROWN byte range of live files — the reference
+    harvester's re-poll loop (harvester.go:152: read to EOF, sleep, retry
+    from the saved offset), reborn as a seek-read kernel over a
+    registrar-shaped input.
+
+    ``tails``: (file, resume_offset, base_line) — typically
+    ``discover_tails`` output. Each executor task opens its files at
+    ``resume_offset`` and reads forward only (the reference's seek —
+    unlike ``binaryFile`` + filter, bytes before the offset are never
+    read, so a poll costs O(growth), not O(file)). Emitted rows carry
+    ABSOLUTE coordinates: line_no continues at base_line, offsets are
+    file offsets. An unterminated trailing line is emitted with
+    ``is_complete = false`` and its bytes are NOT consumed —
+    ``advance_tail_state`` moves the offset past complete lines only, so
+    the next poll re-reads the partial tail once its newline arrives
+    (harvester.go:141-160 hold-back semantics).
+
+    Requires executors to see the same filesystem as the driver (true for
+    local mode and any shared-storage cluster — the same constraint the
+    binaryFile source has). Gzip files are skipped: a growing gzip stream
+    is not seekable; rotated .gz files harvest whole via
+    ``harvest_text_files``.
+    """
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            paths = b.column("file").to_pylist()
+            offs = b.column("resume_offset").to_pylist()
+            bases = b.column("base_line").to_pylist()
+            per_file = []
+            for row, (p, off, base) in enumerate(zip(paths, offs, bases)):
+                try:
+                    with open(p, "rb") as f:
+                        if f.read(2) == b"\x1f\x8b":
+                            continue  # live gzip: not seekable, skip
+                        f.seek(int(off))
+                        buf = f.read()
+                except OSError:
+                    continue  # rotated away mid-poll; next tick re-globs
+                split = _split_file_arrays(buf)
+                if split is None:
+                    continue
+                ln, so, nx, lines, comp = split
+                per_file.append(
+                    (row, ln + int(base), so + int(off), nx + int(off),
+                     lines, comp)
+                )
+            yield _assemble_harvest_batch(b.column("file"), per_file)
+
+    return tails.select("file", "resume_offset", "base_line").mapInArrow(
+        kernel, HARVEST_SCHEMA
+    )
+
+
+def advance_tail_state(harvested: DataFrame) -> DataFrame:
+    """Fold a ``tail_harvest`` result into the next poll's registrar rows:
+    per file, the max ``next_offset`` over COMPLETE lines and the line
+    count consumed — partial tails advance nothing (they re-emit next
+    poll). Registrar-sized output; the polling loop collects it."""
+    return (
+        harvested.filter("is_complete")
+        .groupBy("file")
+        .agg(
+            F.max("next_offset").cast("long").alias("resume_offset"),
+            (F.max("line_no") + 1).cast("long").alias("base_line"),
+        )
+    )
+
+
+def poll_tail_once(
+    spark, path_glob: str, state: dict[str, tuple[int, int]]
+) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+    """One complete tail tick: discover grown files, seek-harvest their
+    new bytes, and return (complete new lines, advanced state). Run it on
+    an interval for slow-rotating logs — the reference's harvester loop
+    at poll granularity. Partial tails stay out of both the emitted rows
+    and the state, so every line is emitted exactly once, whole."""
+    tails = discover_tails(path_glob, state)
+    if not tails:
+        return (
+            spark.createDataFrame([], HARVEST_SCHEMA),
+            dict(state),
+        )
+    tdf = spark.createDataFrame(tails, TAIL_STATE_SCHEMA)
+    # eager checkpoint pins THIS tick's bytes: the kernel re-running
+    # lazily after the file grew again would emit lines the advanced
+    # state has not consumed (and re-emit them next poll)
+    harvested = (
+        tail_harvest(spark, tdf).filter("is_complete").localCheckpoint(eager=True)
+    )
+    new_state = dict(state)
+    for r in advance_tail_state(harvested).collect():
+        new_state[r.file] = (r.resume_offset, r.base_line)
+    return harvested, new_state
 
 
 def resume_harvest(harvested: DataFrame, offsets: DataFrame) -> DataFrame:

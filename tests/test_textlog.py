@@ -213,3 +213,62 @@ def test_split_file_arrays_property():
         assert gl == exp
 
     check()
+
+
+def test_tail_harvest_growing_file(spark, tmp_path):
+    """The reference harvester's live-file re-poll (harvester.go:152):
+    polls see only grown bytes, partial lines are held back until their
+    newline arrives, offsets/line_nos are absolute and continuous, and
+    the union of all polls equals a one-shot harvest of the final file."""
+    from logstash_forwarder_spark.sources.textlog import (
+        harvest_text_files,
+        poll_tail_once,
+    )
+
+    d = tmp_path / "live"
+    d.mkdir()
+    log = d / "app.log"
+    state: dict = {}
+
+    # poll 1: two complete lines + a partial tail
+    log.write_bytes(b"one alpha\ntwo beta\nthree gam")
+    out1, state = poll_tail_once(spark, f"{d}/*.log", state)
+    rows1 = sorted((r.line_no, r.byte_offset, r.line) for r in out1.collect())
+    assert rows1 == [(0, 0, "one alpha"), (1, 10, "two beta")]
+    assert state[str(log)] == (19, 2)  # partial tail NOT consumed
+
+    # poll 2: the partial line completes (CRLF!) and one more arrives
+    with open(log, "ab") as f:
+        f.write(b"ma\r\nfour delta\n")
+    out2, state = poll_tail_once(spark, f"{d}/*.log", state)
+    rows2 = sorted((r.line_no, r.byte_offset, r.line) for r in out2.collect())
+    assert rows2 == [(2, 19, "three gamma"), (3, 32, "four delta")]
+    assert state[str(log)] == (43, 4)
+
+    # poll 3: nothing grew -> empty result, state unchanged
+    out3, state3 = poll_tail_once(spark, f"{d}/*.log", state)
+    assert out3.count() == 0 and state3 == state
+
+    # a NEW file appearing mid-loop is picked up from offset 0
+    log2 = d / "other.log"
+    log2.write_bytes(b"solo line\n")
+    out4, state = poll_tail_once(spark, f"{d}/*.log", state)
+    assert [(r.file.endswith("other.log"), r.line) for r in out4.collect()] == [
+        (True, "solo line")
+    ]
+
+    # union of polls == one-shot harvest of the final files (complete lines)
+    polled = sorted(
+        (r.file, r.line_no, r.byte_offset, r.next_offset, r.line)
+        for out in (out1, out2, out4)
+        for r in out.collect()
+    )
+    oneshot = sorted(
+        (r.file, r.line_no, r.byte_offset, r.next_offset, r.line)
+        for r in harvest_text_files(spark, f"{d}/*.log").collect()
+        if r.is_complete
+    )
+    # harvest_text_files uses file: URIs via binaryFile; normalize
+    polled_n = [(f.split("/")[-1], *rest) for f, *rest in polled]
+    oneshot_n = [(f.split("/")[-1], *rest) for f, *rest in oneshot]
+    assert polled_n == oneshot_n
