@@ -78,6 +78,73 @@ def length_quantiles(
     )
 
 
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Deterministic hard token quota per group — the hard-cap complement
+    to ``mixture_weights``' probabilistic downsampling: scanning each
+    group's docs in ascending id order, a doc is kept while the tokens
+    admitted BEFORE it are under ``budget`` (so the doc that crosses the
+    line is admitted whole; everything after is cut). Reproducible at any
+    parallelism, pure integer math.
+
+    Scale shape — the naive form is one window over each group's ENTIRE
+    doc set (a hot source at 100 TB = one executor sorting billions of
+    rows). Instead, a two-level prefix sum:
+
+      1. per-(group, id-bucket) token sums — ONE hash-agg shuffle whose
+         output is |groups| x |id-buckets| rows, independent of doc count;
+      2. running sum over BUCKETS per group — a window over the tiny
+         bucket relation only;
+      3. join back on (group, bucket) and an intra-bucket window — each
+         window partition is one bucket's docs (<= bucket_width ids), so
+         no partition ever holds a whole group.
+
+    Requires non-negative integer ids (bucket = id DIV width must order
+    like id). Output: (id, group, tok, cum_tok, keep) — cum_tok is the
+    inclusive running total in id order; keep in {0,1}.
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(tok_col).cast("long").alias("_tok"),
+        F.expr(f"{id_col} DIV {int(bucket_width)}").alias("_bkt"),
+    )
+    per_bucket = b.groupBy(group_col, "_bkt").agg(F.sum("_tok").alias("_btok"))
+    w_bkt = (
+        W.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = per_bucket.withColumn(
+        "_pre", F.coalesce(F.sum("_btok").over(w_bkt), F.lit(0))
+    ).select(group_col, "_bkt", "_pre")
+    w_intra = (
+        W.partitionBy(group_col, "_bkt")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.col("_pre") + F.sum("_tok").over(w_intra)
+    return (
+        b.join(pre, [group_col, "_bkt"])
+        .withColumn("cum_tok", cum.cast("long"))
+        .select(
+            id_col,
+            group_col,
+            F.col("_tok").alias("tok"),
+            "cum_tok",
+            (F.col("cum_tok") - F.col("_tok") < F.lit(int(budget)))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str = "source",

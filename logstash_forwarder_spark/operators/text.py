@@ -122,3 +122,40 @@ def redact_stage(
     return df.withColumn(
         "redacted", F.regexp_replace(t, pattern, replacement)
     ).withColumn("n_redactions", n.cast("long"))
+
+
+def log_template_stage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_words: int = 6,
+) -> DataFrame:
+    """Drain-style log template mining, relationally: digit runs collapse
+    to ``<n>`` and the first ``prefix_words`` masked words form the
+    template key — the classic first-tokens heuristic (log lines of one
+    format share their prefix; numbers are the variable part). Output one
+    row per template: (template, n_docs, tok_total, example_doc), where
+    example_doc is the min id (deterministic).
+
+    The reference ships raw lines and leaves structure to the downstream
+    stack; at 100 TB, template grouping is the first question asked of a
+    log corpus ("what are these lines?"). ONE hash-agg shuffle keyed by
+    template (map-side partials; template cardinality ~ distinct formats,
+    not line count). Everything JVM built-ins: mask via regexp_replace,
+    prefix via slice + array_join."""
+    masked = F.regexp_replace(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        r"[0-9]+",
+        "<n>",
+    )
+    tpl = F.array_join(F.slice(F.split(masked, " "), 1, prefix_words), " ")
+    n_tok = F.size(F.split(masked, " ")).cast("long")
+    return (
+        df.select(F.col(id_col), tpl.alias("template"), n_tok.alias("_nt"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("tok_total"),
+            F.min(id_col).alias("example_doc"),
+        )
+    )

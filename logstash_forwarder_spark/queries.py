@@ -1718,6 +1718,59 @@ FROM cov GROUP BY doc_id
 """
 
 
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token quota (operators/stats.py
+    token_budget_cap): docs admitted in id order until the source's token
+    budget is crossed — the hard-cap complement to mixture_weights.
+    Two-level prefix sum: bucket hash-agg + tiny bucket window + bounded
+    intra-bucket window (no window ever spans a whole source)."""
+    from .operators.stats import token_budget_cap
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", _word_count().cast("long").alias("n_tok")
+    )
+    return token_budget_cap(d, budget=1000)
+
+
+SQL_TOKEN_BUDGET_CAP = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST({_N_WORDS_SQL} AS BIGINT) AS tok FROM documents),
+c AS (
+  SELECT doc_id, source, tok,
+         CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM d)
+SELECT doc_id, source, tok, cum_tok,
+       CAST(CASE WHEN cum_tok - tok < 1000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM c
+"""
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style log template mining (operators/text.py
+    log_template_stage): digit runs mask to <n>, first-6-masked-words
+    template key, one template-keyed hash-agg with counts, token totals
+    and a deterministic min-id example."""
+    from .operators.text import log_template_stage
+
+    return log_template_stage(_docs(spark, sf_dir), prefix_words=6)
+
+
+SQL_LOG_TEMPLATES = r"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        '[0-9]+', '<n>', 'g') AS mt
+  FROM documents),
+w AS (SELECT doc_id, string_split(mt, ' ') AS wl FROM m)
+SELECT array_to_string(list_slice(wl, 1, 6), ' ') AS template,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(wl)) AS BIGINT) AS tok_total,
+       min(doc_id) AS example_doc
+FROM w GROUP BY 1
+"""
+
+
 def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — 3-way star join: filtered customer dim broadcast
     into orders, orders shuffle-joined to lineitem on the co-key, top-10
@@ -1989,6 +2042,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     # -- new this round --
     "span_cut": (q_span_cut, SQL_SPAN_CUT),
+    "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
+    "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),

@@ -175,3 +175,44 @@ def test_grouped_median_histogram_path(spark):
         v = grp["n_chars"].sort_values().reset_index(drop=True)
         assert rows[src].median_chars == int(v.iloc[(len(v) - 1) // 2]), src
         assert rows[src].n_docs == len(v)
+
+
+def test_token_budget_cap_hand_math(spark):
+    """Hard quota semantics: scanning ids ascending, a doc is kept while
+    tokens admitted BEFORE it are under budget (the crossing doc is
+    admitted whole). bucket_width=2 forces the two-level prefix-sum path
+    (bucket hash-agg + bucket window + intra-bucket window)."""
+    from logstash_forwarder_spark.operators.stats import token_budget_cap
+
+    rows = [
+        ("a", 0, 40), ("a", 1, 40), ("a", 2, 40), ("a", 3, 40),
+        ("b", 10, 200),  # first doc always admitted (0 < budget)
+        ("b", 11, 1),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = {r.doc_id: r for r in token_budget_cap(df, budget=100, bucket_width=2).collect()}
+    assert [out[i].keep for i in (0, 1, 2, 3)] == [1, 1, 1, 0]
+    assert [out[i].cum_tok for i in (0, 1, 2, 3)] == [40, 80, 120, 160]
+    assert out[10].keep == 1 and out[11].keep == 0  # 200 >= 100 already
+    # parallelism invariance: same result at 1 partition
+    one = {
+        r.doc_id: (r.cum_tok, r.keep)
+        for r in token_budget_cap(df.coalesce(1), budget=100, bucket_width=2).collect()
+    }
+    assert one == {i: (out[i].cum_tok, out[i].keep) for i in one}
+
+
+def test_log_templates_hand_check(spark):
+    from logstash_forwarder_spark.operators.text import log_template_stage
+
+    rows = [
+        (1, "ERROR   1234 connection lost to host 10 0 0 1 retrying"),
+        (2, "error 99 connection lost to host 172 16 0 9"),
+        (3, "user alice logged in"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.template: r for r in log_template_stage(df).collect()}
+    t = "error <n> connection lost to host"
+    assert out[t].n_docs == 2 and out[t].example_doc == 1
+    assert out[t].tok_total == 12 + 9  # masked word counts of docs 1,2
+    assert out["user alice logged in"].n_docs == 1

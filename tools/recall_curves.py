@@ -1,0 +1,161 @@
+"""Measured recall@k curves for the approximate ANN configurations.
+
+The registry gates `similarity_ivf` / `similarity_lsh` in EXHAUSTIVE-probe
+mode (provably exact, full DuckDB oracle); this script measures what the
+APPROXIMATE settings actually buy — recall@k against brute force vs the
+fraction of the corpus each query touches — so the quality/cost tradeoff
+is published evidence, not theory (VERDICT r3 next-round #7).
+
+Run: python tools/recall_curves.py [sf_dir]  (default /root/testdata/sf0.1)
+Writes BENCH/RECALL.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logstash_forwarder_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 50
+
+
+def truth_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def recall(approx, exact):
+    hit = sum(len(approx.get(q, set()) & s) for q, s in exact.items())
+    tot = sum(len(s) for s in exact.values())
+    return hit / tot
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="recall", master="local[8]", shuffle_partitions=8)
+    from logstash_forwarder_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        score_pairs_arrow,  # noqa: F401  (import sanity)
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).cache()
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).cache()
+    nq, nc = q.count(), c.count()
+
+    exact = truth_sets(brute_force_topk(q, c, k=K))
+
+    results = {"k": K, "n_queries": nq, "n_candidates": nc, "ivf": [], "lsh": []}
+
+    n_cells = 16
+    for n_probe in (1, 2, 4, 8, 16):
+        approx = truth_sets(ivf_topk(q, c, k=K, n_cells=n_cells, n_probe=n_probe))
+        results["ivf"].append(
+            {
+                "n_probe": n_probe,
+                "recall": round(recall(approx, exact), 4),
+                # IVF probes n_probe of n_cells Voronoi cells; expected
+                # corpus fraction touched is n_probe/n_cells (cells are
+                # near-balanced by the k-means fit)
+                "frac_touched": round(n_probe / n_cells, 4),
+            }
+        )
+
+    n_planes = 16
+    for radius in (0, 1, 2, 3, 4):
+        approx = truth_sets(
+            lsh_topk(q, c, k=K, n_planes=n_planes, hamming_radius=radius)
+        )
+        # measured fraction: candidate rows entering the re-rank kernel
+        # per query, over the corpus size (the real cost of the config)
+        from logstash_forwarder_spark.operators.similarity import (
+            banded_signatures,
+        )
+        import itertools
+
+        cb = banded_signatures(
+            c.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")),
+            vec_col="c_vec", dim=64, bands=1, planes_per_band=n_planes,
+        ).withColumnRenamed("band0", "bucket")
+        probes = [
+            F.lit(sum(1 << p for p in combo))
+            for r in range(radius + 1)
+            for combo in itertools.combinations(range(n_planes), r)
+        ]
+        qb = (
+            banded_signatures(
+                q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")),
+                vec_col="q_vec", dim=64, bands=1, planes_per_band=n_planes,
+            )
+            .withColumnRenamed("band0", "q_sig")
+            .withColumn("_probe", F.explode(F.array(*probes)))
+            .withColumn("bucket", F.col("_probe").bitwiseXOR(F.col("q_sig")).cast("int"))
+        )
+        touched = cb.join(F.broadcast(qb), "bucket").count()
+        results["lsh"].append(
+            {
+                "hamming_radius": radius,
+                "recall": round(recall(approx, exact), 4),
+                "frac_touched": round(touched / (nq * nc), 4),
+            }
+        )
+
+    lines = [
+        "# Measured ANN recall curves",
+        "",
+        f"Corpus: `{sf_dir}/embeddings.parquet` — {nc} candidates, "
+        f"{nq} queries, dim 64, recall@{K} vs brute-force cosine "
+        "(`brute_force_topk`, the same oracle the registry gates against).",
+        "",
+        "The registry's `similarity_ivf`/`similarity_lsh` run exhaustive-probe",
+        "(bottom rows: recall 1.0 by construction — that is the correctness",
+        "gate). These curves measure the APPROXIMATE configurations: quality",
+        "bought per fraction of the corpus touched per query.",
+        "",
+        f"## IVF (n_cells = {n_cells}, distributed k-means fit)",
+        "",
+        "| n_probe | corpus fraction touched | recall@10 |",
+        "|---|---|---|",
+    ]
+    for r in results["ivf"]:
+        lines.append(f"| {r['n_probe']} | {r['frac_touched']:.3f} | {r['recall']:.3f} |")
+    lines += [
+        "",
+        f"## Hyperplane LSH (n_planes = {n_planes}, multi-probe)",
+        "",
+        "| hamming radius | corpus fraction touched (measured) | recall@10 |",
+        "|---|---|---|",
+    ]
+    for r in results["lsh"]:
+        lines.append(
+            f"| {r['hamming_radius']} | {r['frac_touched']:.3f} | {r['recall']:.3f} |"
+        )
+    lines += [
+        "",
+        "Notes:",
+        "- IVF's touched fraction is n_probe/n_cells (cells near-balanced by",
+        "  the bounded-pool k-means); LSH's is the measured candidate-join",
+        "  row count over |Q|x|C| (buckets are NOT balanced; the 64-bit",
+        "  signature join stays an equi-join at any radius).",
+        "- Produced by tools/recall_curves.py; regenerate after touching",
+        "  operators/similarity.py.",
+        "",
+    ]
+    with open("/root/repo/BENCH/RECALL.md", "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
