@@ -294,6 +294,48 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.operators.dedup import span_cut
+
+    sections.append(
+        (
+            "Span-level exact-substring removal (dedup.span_cut)",
+            "Exactly TWO big exchanges: one keyed by the 8-byte gram hash "
+            "(the row_number window electing each gram's first occurrence) "
+            "and one keyed by doc (dense-position coverage window + kept-"
+            "text reassembly). The gram relation is a MapInArrow directly "
+            "over the scan; NO pair enumeration, no join keyed on anything "
+            "data-sized besides those two keys.",
+            plan_of(span_cut(docs)),
+        )
+    )
+
+    from logstash_forwarder_spark.operators.stats import token_budget_cap
+
+    sections.append(
+        (
+            "Per-source token quota (stats.token_budget_cap)",
+            "Two-level prefix sum: the bucket window's Sort/Window consume "
+            "the (source, bucket) HASH-AGGREGATE output (tiny), and the "
+            "intra-bucket window partitions on (source, bucket) — no Window "
+            "partition ever spans a whole source, so a hot source cannot "
+            "pin one executor.",
+            plan_of(token_budget_cap(lens.withColumn("doc_id", F.monotonically_increasing_id()), budget=1000)),
+        )
+    )
+
+    from logstash_forwarder_spark.queries import q_grouped_median
+
+    sections.append(
+        (
+            "Exact grouped median on the histogram path (q_grouped_median)",
+            "NO FlatMapGroupsInPandas anywhere (round-3's whole-group "
+            "applyInPandas is gone): the plan is the length_quantiles "
+            "histogram shape — hash-agg shuffle of (source, n_chars) "
+            "counts, window over the histogram only.",
+            plan_of(q_grouped_median(spark, SF_DIR)),
+        )
+    )
+
     # AQE skew-join split: executed (final adaptive) plan, not explain —
     # the skew markers only exist after runtime stats are in
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
