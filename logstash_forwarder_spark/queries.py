@@ -2104,7 +2104,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
@@ -2123,6 +2122,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- three-round-stable trivial queries rotated past the driver's
     # first-50 window (r1-r3 driver-green; still checked every session by
     # tools/check_oracle.py which gates ALL entries) --
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "line_number": (q_line_number, SQL_LINE_NUMBER),
     "dead_time_filter": (q_dead_time_filter, SQL_DEAD_TIME_FILTER),
     "spool_batches": (q_spool_batches, SQL_SPOOL_BATCHES),
