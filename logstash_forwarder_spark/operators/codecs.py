@@ -188,3 +188,105 @@ def image_resize_codec(payloads: pd.Series, w: int, h: int) -> pd.Series:
         img = nearest_resize(decode_image(data), w, h)
         out.append(encode_bmp(img) if data[:2] == b"BM" else encode_ppm(img))
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------- WAV (PCM)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 PCM samples → canonical 44-byte-header RIFF/WAVE bytes.
+
+    Mono (n,) or multi-channel (n, ch); samples are interleaved
+    little-endian 16-bit, the universal uncompressed audio container —
+    the audio analog of the 24bpp BMP above, parseable with zero deps."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        raise ValueError(f"samples must be int16, got {s.dtype}")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    pcm = s.astype("<i2").tobytes()
+    block = ch * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, sample_rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (int16 samples [(n,) mono / (n, ch)], rate).
+
+    Walks the chunk list (fmt may be followed by LIST/fact/etc. before
+    data) — not just the canonical 44-byte layout; requires
+    uncompressed 16-bit PCM (format tag 1)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    tag, ch, rate, _brate, _align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (tag={tag}, bits={bits})")
+    s = np.frombuffer(pcm, dtype="<i2").astype(np.int16)
+    if ch > 1:
+        s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+    return s, rate
+
+
+AUDIO_FEATURE_DIM = FEATURE_DIM  # same width as image features
+
+
+def audio_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
+    """`decode_media(codec=...)` adapter for audio: decode each WAV and
+    emit FEATURE_DIM floats — [n_samples, sample_rate/1000, mean/2^15,
+    rms/2^15, min/2^15, max/2^15, zero-crossing rate, duration_ms]."""
+    feats = []
+    for p in payloads:
+        s, rate = decode_wav(bytes(p))
+        mono = s if s.ndim == 1 else s.mean(axis=1)
+        f = mono.astype(np.float64)
+        n = max(len(f), 1)
+        zc = float(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1]))) / n
+        feats.append(
+            np.array(
+                [
+                    len(f),
+                    rate / 1000.0,
+                    f.mean() / 32768.0 if len(f) else 0.0,
+                    np.sqrt((f * f).mean()) / 32768.0 if len(f) else 0.0,
+                    f.min() / 32768.0 if len(f) else 0.0,
+                    f.max() / 32768.0 if len(f) else 0.0,
+                    zc,
+                    len(f) * 1000.0 / rate,
+                ],
+                dtype=np.float32,
+            )
+        )
+    return pd.Series(feats)
+
+
+def media_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
+    """Combined seam adapter: sniff each payload's container (BMP/PNM
+    magic vs RIFF) and route to the image or audio feature codec — one
+    codec callable covering both real modalities."""
+    out = []
+    for k, p in zip(kinds, payloads):
+        data = bytes(p)
+        if data[:4] == b"RIFF":
+            out.append(audio_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
+        else:
+            out.append(image_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
+    return pd.Series(out)

@@ -850,6 +850,71 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents)
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec end-to-end gate (operators/codecs.py WAV/PCM —
+    the audio analog of q_media_decode's BMP gate): each doc's text
+    deterministically defines an int16 sample vector (n = 8 + L % 32
+    samples, sample_i = (L*31 + i*17) % 4001 - 2000, L = utf-8 byte
+    length). The Spark side ENCODES it to genuine RIFF/WAVE PCM bytes,
+    DECODES them back (chunk walk, header parse), and reports only what
+    the decoded stream says — container size, sample count, rate from the
+    header, sum and sum-of-squares of the decoded samples. The oracle
+    recomputes every number with pure SQL arithmetic (44-byte canonical
+    header + 2 bytes/sample; series sums), so framing and the PCM
+    round-trip are gated without DuckDB parsing a WAV. mapInPandas,
+    row-local, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import decode_wav, encode_wav
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_bytes", "n_samples", "sample_rate",
+                "sample_sum", "sq_sum",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                L = len(text.encode("utf-8"))
+                n = 8 + L % 32
+                i = np.arange(n, dtype=np.int64)
+                samples = ((L * 31 + i * 17) % 4001 - 2000).astype(np.int16)
+                payload = encode_wav(samples, sample_rate=16000)
+                dec, rate = decode_wav(payload)
+                d64 = dec.astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["n_samples"].append(len(dec))
+                out["sample_rate"].append(rate)
+                out["sample_sum"].append(int(d64.sum()))
+                out["sq_sum"].append(int((d64 * d64).sum()))
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        op,
+        schema="doc_id long, n_bytes long, n_samples long, sample_rate long, "
+        "sample_sum long, sq_sum long",
+    )
+
+
+SQL_AUDIO_DECODE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+e AS (SELECT doc_id, L, 8 + L % 32 AS n FROM d),
+s AS (
+  SELECT doc_id, (L * 31 + i * 17) % 4001 - 2000 AS v
+  FROM e, UNNEST(generate_series(0, n - 1)) AS t(i))
+SELECT e.doc_id,
+       CAST(44 + 2 * e.n AS BIGINT) AS n_bytes,
+       CAST(e.n AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(sum(s.v) AS BIGINT) AS sample_sum,
+       CAST(sum(s.v * s.v) AS BIGINT) AS sq_sum
+FROM e JOIN s USING (doc_id)
+GROUP BY e.doc_id, e.n
+"""
+
+
 def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy-hitters: explode → count → global top-20 with a
     deterministic tiebreak (the token-frequency stat a training-data
@@ -2081,6 +2146,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),

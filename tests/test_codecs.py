@@ -203,3 +203,101 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in this image
     pass
+
+
+# ---- WAV / PCM (round 4: real audio modality) ---------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from logstash_forwarder_spark.operators.codecs import decode_wav, encode_wav
+
+    mono = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(s, mono)
+
+    stereo = np.array([[1, -2], [3, -4], [32767, -32768]], dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (3, 2) and np.array_equal(s2, stereo)
+
+
+def test_wav_chunk_walk_with_extra_chunks():
+    """Decoder must walk the chunk list, not assume the canonical 44-byte
+    layout: a LIST chunk (odd-sized, exercising even-offset padding)
+    between fmt and data must be skipped."""
+    import struct as _struct
+
+    from logstash_forwarder_spark.operators.codecs import decode_wav, encode_wav
+
+    canonical = encode_wav(np.array([7, -8, 9], dtype=np.int16), 16000)
+    fmt_chunk = canonical[12:36]
+    data_chunk = canonical[36:]
+    extra = b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    body = b"WAVE" + fmt_chunk + extra + data_chunk
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(wav)
+    assert rate == 16000 and list(s) == [7, -8, 9]
+
+
+def test_audio_feature_codec_features():
+    import pandas as pd
+
+    from logstash_forwarder_spark.operators.codecs import (
+        audio_feature_codec,
+        encode_wav,
+    )
+
+    samples = np.array([16384, -16384, 16384, -16384], dtype=np.int16)
+    f = audio_feature_codec(
+        pd.Series(["audio"]), pd.Series([encode_wav(samples, 8000)])
+    ).iloc[0]
+    assert f[0] == 4 and f[1] == 8.0  # n_samples, kHz
+    assert abs(f[3] - 0.5) < 1e-6  # rms of +/-2^14 is 2^14/2^15
+    assert f[6] == 0.75  # 3 sign changes / 4 samples
+    assert f[7] == 0.5  # 4 samples at 8 kHz = 0.5 ms
+
+
+def test_media_feature_codec_dispatch():
+    import pandas as pd
+
+    from logstash_forwarder_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        media_feature_codec,
+    )
+
+    img = np.full((2, 3, 3), 10, np.uint8)
+    wav = encode_wav(np.array([100, -100], dtype=np.int16), 16000)
+    out = media_feature_codec(
+        pd.Series(["image", "audio"]), pd.Series([encode_bmp(img), wav])
+    )
+    assert out.iloc[0][0] == 3 and out.iloc[0][1] == 2  # image w, h
+    assert out.iloc[1][0] == 2 and out.iloc[1][1] == 16.0  # n_samples, kHz
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+    from hypothesis import strategies as _st
+
+    @_settings(max_examples=60, deadline=None)
+    @_given(
+        n=_st.integers(0, 200),
+        ch=_st.integers(1, 4),
+        rate=_st.sampled_from([8000, 16000, 22050, 44100]),
+        seed=_st.integers(0, 2**31 - 1),
+    )
+    def test_property_wav_roundtrip(n, ch, rate, seed):
+        from logstash_forwarder_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        if ch == 1:
+            s = s.reshape(-1)
+        dec, r = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        assert np.array_equal(dec, s)
+
+except ImportError:  # pragma: no cover
+    pass
