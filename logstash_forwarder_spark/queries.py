@@ -2168,7 +2168,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
     "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -2185,6 +2184,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     # -- three-round-stable trivial queries rotated past the driver's
     # first-50 window (r1-r3 driver-green; still checked every session by
     # tools/check_oracle.py which gates ALL entries) --

@@ -118,3 +118,39 @@ def test_resize_plan_has_no_shuffle(spark):
     media = gen_media(spark, 20)
     plan = resize_media(media, 8, 8, fake=True)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decode_real_image_and_audio_via_combined_codec(spark):
+    """Round 4: BOTH real modalities through the seam in one plan — BMP
+    images and RIFF/WAVE audio, dispatched per payload by
+    media_feature_codec; features must match driver-side decodes."""
+    import numpy as np
+
+    from logstash_forwarder_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        media_feature_codec,
+    )
+
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            img = np.full((2 + i, 3, 3), (i * 37) % 256, np.uint8)
+            rows.append((f"m{i}", "image", bytearray(encode_bmp(img))))
+        else:
+            s = np.arange(-i * 5, i * 5, dtype=np.int16)
+            rows.append((f"m{i}", "audio", bytearray(encode_wav(s, 16000))))
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    got = {
+        r.media_id: list(r.features)
+        for r in decode_media(media, codec=media_feature_codec).collect()
+    }
+    import pandas as pd
+
+    for mid, kind, payload in rows:
+        want = media_feature_codec(
+            pd.Series([kind]), pd.Series([bytes(payload)])
+        ).iloc[0]
+        assert got[mid] == pytest.approx(list(want)), mid
