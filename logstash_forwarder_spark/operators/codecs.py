@@ -278,15 +278,141 @@ def audio_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
     return pd.Series(feats)
 
 
+def video_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
+    """`decode_media(codec=...)` adapter for video: decode each Y4M and
+    emit FEATURE_DIM floats — [n_frames, width, height, fps, first-frame
+    mean/255, last-frame mean/255, global min/255, global max/255]."""
+    feats = []
+    for p in payloads:
+        frames, (fn, fd) = decode_y4m(bytes(p))
+        f = frames.astype(np.float64)
+        has = len(frames) > 0
+        feats.append(
+            np.array(
+                [
+                    frames.shape[0],
+                    frames.shape[2],
+                    frames.shape[1],
+                    fn / fd,
+                    f[0].mean() / 255.0 if has else 0.0,
+                    f[-1].mean() / 255.0 if has else 0.0,
+                    f.min() / 255.0 if has else 0.0,
+                    f.max() / 255.0 if has else 0.0,
+                ],
+                dtype=np.float32,
+            )
+        )
+    return pd.Series(feats)
+
+
 def media_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
     """Combined seam adapter: sniff each payload's container (BMP/PNM
-    magic vs RIFF) and route to the image or audio feature codec — one
-    codec callable covering both real modalities."""
+    magic vs RIFF vs YUV4MPEG2) and route to the image, audio, or video
+    feature codec — one codec callable covering all three real
+    modalities."""
     out = []
     for k, p in zip(kinds, payloads):
         data = bytes(p)
         if data[:4] == b"RIFF":
             out.append(audio_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
+        elif data[:9] == b"YUV4MPEG2":
+            out.append(video_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
         else:
             out.append(image_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
     return pd.Series(out)
+
+
+# --------------------------------------------------------- Y4M (YUV4MPEG2)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 luma planes → YUV4MPEG2 bytes (C420 with
+    constant-128 chroma — grayscale video every Y4M reader accepts).
+
+    Y4M is the classic uncompressed video interchange container: an ASCII
+    stream header, then per frame an ASCII `FRAME` marker + raw planes.
+    The video analog of BMP/WAV above — a REAL format, zero deps.
+    Requires even width/height (C420 chroma is 2x2 subsampled)."""
+    f = np.asarray(frames)
+    if f.dtype != np.uint8 or f.ndim != 3:
+        raise ValueError(f"frames must be (n, h, w) uint8, got {f.dtype}{f.shape}")
+    n, h, w = f.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"C420 needs even dims, got {w}x{h}")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = [header]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 bytes → ((n_frames, h, w) uint8 luma planes, (fps_n, fps_d)).
+
+    Parses the parameter list (W/H/F tags in any order, unknown tags
+    ignored per spec), C420/C420jpeg/C420paldv or Cmono; chroma planes are
+    skipped — features here are luma-derived."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    mono = False
+    for tag in data[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            a, b = t[1:].split(":")
+            fps = (int(a), int(b))
+        elif t[0] == "C":
+            if t[1:].startswith("mono"):
+                mono = True
+            elif not t[1:].startswith("420"):
+                raise ValueError(f"unsupported chroma mode {t}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    luma_len = w * h
+    frame_len = luma_len if mono else luma_len + 2 * ((w // 2) * (h // 2))
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        body = data[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) < frame_len:
+            raise ValueError(f"truncated frame at byte {fnl + 1}")
+        frames.append(
+            np.frombuffer(body, np.uint8, luma_len).reshape(h, w)
+        )
+        pos = fnl + 1 + frame_len
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), np.uint8),
+        fps,
+    )
+
+
+def video_frame_features(data: bytes, every_n: int = 1) -> np.ndarray:
+    """Decode a Y4M payload and emit per-SAMPLED-frame feature rows
+    (frame_no, mean, min, max, crossings-of-128) — the decode step of
+    frame_sample_plan made real. Returns (k, 5) float32."""
+    frames, _fps = decode_y4m(data)
+    idx = np.arange(0, len(frames), max(every_n, 1))
+    out = np.empty((len(idx), 5), np.float32)
+    for row, i in enumerate(idx):
+        f = frames[i].astype(np.float64)
+        out[row] = (
+            i,
+            f.mean(),
+            f.min(),
+            f.max(),
+            float(np.count_nonzero(np.diff((frames[i] >= 128).ravel()))),
+        )
+    return out

@@ -915,6 +915,81 @@ GROUP BY e.doc_id, e.n
 """
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-codec end-to-end gate (operators/codecs.py Y4M —
+    completing the modality trio after BMP images and WAV audio): each
+    doc's text deterministically defines a grayscale clip (n = 1 + L % 6
+    frames of w×h = 2(1+L%4) × 2(1+L%3), frame f constant-filled with
+    (L + 13f) % 251). Spark ENCODES genuine YUV4MPEG2 bytes, DECODES them
+    back (header tag parse, FRAME walk, C420 chroma skip), samples every
+    2nd frame — frame_sample_plan's decode step made real — and reports
+    only what the decoded planes say. The oracle recomputes container
+    size (35-byte single-digit header + per-frame 6 + 1.5wh) and sampled
+    luma sums in pure SQL. mapInPandas, row-local, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.codecs import decode_y4m, encode_y4m, video_frame_features
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_bytes", "n_frames", "width", "height",
+                "sampled_frames", "luma_sum",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                L = len(text.encode("utf-8"))
+                n = 1 + L % 6
+                w, h = 2 * (1 + L % 4), 2 * (1 + L % 3)
+                f = np.arange(n, dtype=np.int64)[:, None, None]
+                frames = (
+                    np.broadcast_to((L + 13 * f) % 251, (n, h, w))
+                    .astype(np.uint8)
+                )
+                payload = encode_y4m(frames)
+                dec, _fps = decode_y4m(payload)
+                feats = video_frame_features(payload, every_n=2)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["sampled_frames"].append(len(feats))
+                # mean * w * h per sampled frame, from the DECODED planes
+                out["luma_sum"].append(
+                    int(round(float(feats[:, 1].sum()) * w * h))
+                )
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        op,
+        schema="doc_id long, n_bytes long, n_frames long, width long, "
+        "height long, sampled_frames long, luma_sum long",
+    )
+
+
+SQL_VIDEO_DECODE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+e AS (
+  SELECT doc_id, L, 1 + L % 6 AS n,
+         2 * (1 + L % 4) AS w, 2 * (1 + L % 3) AS h
+  FROM d),
+s AS (
+  SELECT doc_id, (L + 13 * f) % 251 AS v
+  FROM e, UNNEST(generate_series(0, n - 1, 2)) AS t(f))
+SELECT e.doc_id,
+       CAST(35 + e.n * (6 + (3 * e.w * e.h) // 2) AS BIGINT) AS n_bytes,
+       CAST(e.n AS BIGINT) AS n_frames,
+       CAST(e.w AS BIGINT) AS width,
+       CAST(e.h AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS sampled_frames,
+       CAST(sum(s.v) * e.w * e.h AS BIGINT) AS luma_sum
+FROM e JOIN s USING (doc_id)
+GROUP BY e.doc_id, e.n, e.w, e.h
+"""
+
+
 def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy-hitters: explode → count → global top-20 with a
     deterministic tiebreak (the token-frequency stat a training-data
@@ -2147,6 +2222,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
@@ -2156,7 +2232,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2184,6 +2259,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     # -- three-round-stable trivial queries rotated past the driver's
     # first-50 window (r1-r3 driver-green; still checked every session by

@@ -301,3 +301,78 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---- Y4M / YUV4MPEG2 (round 4: real video modality) ---------------------
+
+
+def test_y4m_roundtrip_and_header():
+    from logstash_forwarder_spark.operators.codecs import decode_y4m, encode_y4m
+
+    frames = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    data = encode_y4m(frames, fps=(30, 1))
+    assert data.startswith(b"YUV4MPEG2 W6 H4 F30:1 ")
+    dec, fps = decode_y4m(data)
+    assert fps == (30, 1) and np.array_equal(dec, frames)
+
+
+def test_y4m_tag_order_and_mono():
+    """Spec: parameter tags come in any order, unknown tags are ignored;
+    Cmono streams carry no chroma planes."""
+    from logstash_forwarder_spark.operators.codecs import decode_y4m
+
+    luma = bytes(range(8))  # 4x2
+    data = b"YUV4MPEG2 F25:1 H2 XSOMETAG W4 Cmono\n" + b"FRAME\n" + luma
+    dec, fps = decode_y4m(data)
+    assert dec.shape == (1, 2, 4) and list(dec.ravel()) == list(luma)
+
+
+def test_y4m_truncated_frame_raises():
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.operators.codecs import decode_y4m, encode_y4m
+
+    frames = np.zeros((1, 2, 2), np.uint8)
+    data = encode_y4m(frames)[:-1]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(data)
+
+
+def test_video_frame_features_sampling():
+    from logstash_forwarder_spark.operators.codecs import (
+        encode_y4m,
+        video_frame_features,
+    )
+
+    frames = np.stack([np.full((2, 2), v, np.uint8) for v in (10, 200, 30, 40, 50)])
+    feats = video_frame_features(encode_y4m(frames), every_n=2)
+    assert [int(r[0]) for r in feats] == [0, 2, 4]
+    assert [r[1] for r in feats] == [10.0, 30.0, 50.0]
+    assert feats[0][4] == 0.0  # constant frame: no 128-crossings
+
+
+try:
+    from hypothesis import given as _g2, settings as _s2
+    from hypothesis import strategies as _st2
+
+    @_s2(max_examples=50, deadline=None)
+    @_g2(
+        n=_st2.integers(0, 6),
+        w2=_st2.integers(1, 8),
+        h2=_st2.integers(1, 6),
+        seed=_st2.integers(0, 2**31 - 1),
+    )
+    def test_property_y4m_roundtrip(n, w2, h2, seed):
+        from logstash_forwarder_spark.operators.codecs import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, 2 * h2, 2 * w2), dtype=np.uint8)
+        dec, fps = decode_y4m(encode_y4m(frames))
+        assert fps == (25, 1)
+        assert dec.shape == frames.shape and np.array_equal(dec, frames)
+
+except ImportError:  # pragma: no cover
+    pass

@@ -121,8 +121,8 @@ def test_resize_plan_has_no_shuffle(spark):
 
 
 def test_decode_real_image_and_audio_via_combined_codec(spark):
-    """Round 4: BOTH real modalities through the seam in one plan — BMP
-    images and RIFF/WAVE audio, dispatched per payload by
+    """Round 4: ALL THREE real modalities through the seam in one plan —
+    BMP images, RIFF/WAVE audio and Y4M video, dispatched per payload by
     media_feature_codec; features must match driver-side decodes."""
     import numpy as np
 
@@ -132,14 +132,19 @@ def test_decode_real_image_and_audio_via_combined_codec(spark):
         media_feature_codec,
     )
 
+    from logstash_forwarder_spark.operators.codecs import encode_y4m
+
     rows = []
     for i in range(6):
-        if i % 2 == 0:
+        if i % 3 == 0:
             img = np.full((2 + i, 3, 3), (i * 37) % 256, np.uint8)
             rows.append((f"m{i}", "image", bytearray(encode_bmp(img))))
-        else:
+        elif i % 3 == 1:
             s = np.arange(-i * 5, i * 5, dtype=np.int16)
             rows.append((f"m{i}", "audio", bytearray(encode_wav(s, 16000))))
+        else:
+            fr = np.full((1 + i, 2, 4), (i * 29) % 256, np.uint8)
+            rows.append((f"m{i}", "video", bytearray(encode_y4m(fr))))
     media = spark.createDataFrame(
         rows, "media_id string, kind string, payload binary"
     )
