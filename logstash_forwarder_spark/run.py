@@ -41,6 +41,21 @@ def main(argv: list[str] | None = None) -> int:
         help="harvest raw .log files matching this glob instead "
         "(sources/textlog.py: line split, whitespace tokenizer)",
     )
+    p.add_argument(
+        "--tail-glob",
+        help="TAIL live .log files matching this glob: per poll, harvest "
+        "only bytes grown since the persisted offsets (seek-read kernel, "
+        "sources/textlog.py poll_tail_once) and run the pipeline on the "
+        "new complete lines — the reference daemon's harvest loop",
+    )
+    p.add_argument(
+        "--polls", type=int, default=1,
+        help="number of tail polls to run (with --tail-glob)",
+    )
+    p.add_argument(
+        "--poll-interval", type=float, default=0.0,
+        help="seconds to sleep between tail polls",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--run-id", default=None)
     p.add_argument(
@@ -102,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _get_session(args)
 
+    if args.tail_glob:
+        return _tail_loop(spark, args)
+
     if args.gen:
         seqs = gen_sequences(spark, args.gen)
     elif args.input:
@@ -125,6 +143,77 @@ def main(argv: list[str] | None = None) -> int:
                 "sinks_skipped": res.sinks_skipped,
                 "rows_staged": res.rows_staged,
                 "elapsed_sec": round(res.elapsed_sec, 3),
+            }
+        )
+    )
+    return 0
+
+
+def _tail_loop(spark, args) -> int:
+    """The reference daemon's loop at poll granularity: stat the glob,
+    seek-read grown bytes, pipe new complete lines through the full
+    parse → enrich → route → commit pipeline, persist the registrar
+    offsets, sleep, repeat.
+
+    Offsets live in ``<out>/_tailstate.json``, written via a single-file
+    atomic swap AFTER the poll's pipeline commit — a crash between commit
+    and state write re-harvests that poll's lines under a fresh run_id
+    (at-least-once across crashes, exactly-once per poll), the same
+    registrar-after-ack window the reference has (registrar.go:12-29).
+    Each poll commits under run_id ``<base>-pK`` so published data stays
+    per-poll queryable and the snapshot log records one transaction per
+    poll."""
+    import os
+    import time
+    import uuid
+
+    from .sources.textlog import lines_to_sequences, poll_tail_once
+
+    state_path = os.path.join(args.out, "_tailstate.json")
+    state: dict[str, tuple[int, int]] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state = {k: tuple(v) for k, v in json.load(fh).items()}
+    base = args.run_id or uuid.uuid4().hex[:8]
+    dim = gen_source_dim(spark)
+    polls = []
+    for k in range(max(args.polls, 1)):
+        harvested, new_state = poll_tail_once(spark, args.tail_glob, state)
+        n_lines = harvested.count()
+        rec = {"poll": k, "new_lines": n_lines}
+        if n_lines:
+            seqs = lines_to_sequences(harvested)
+            res = run_pipeline(
+                spark,
+                seqs,
+                dim,
+                PipelineSpec(
+                    out_dir=args.out,
+                    run_id=f"{base}-p{k}",
+                    commit_mode=args.commit_mode,
+                ),
+            )
+            rec.update(
+                run_id=res.run_id,
+                sinks_committed=res.sinks_committed,
+                rows_staged=res.rows_staged,
+            )
+            state = new_state
+            os.makedirs(args.out, exist_ok=True)
+            tmp = f"{state_path}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({k2: list(v) for k2, v in state.items()}, fh)
+            os.replace(tmp, state_path)
+        print(json.dumps(rec))
+        if args.poll_interval and k + 1 < args.polls:
+            time.sleep(args.poll_interval)
+        polls.append(rec)
+    print(
+        json.dumps(
+            {
+                "tail_glob": args.tail_glob,
+                "polls": len(polls),
+                "total_lines": sum(r["new_lines"] for r in polls),
             }
         )
     )

@@ -108,3 +108,57 @@ def test_run_cli_manifest_mode(spark, tmp_path, capsys):
         if m["files"]:
             total += read_sink(spark, out, "m1", s).count()
     assert total == 800
+
+
+def test_cli_tail_glob_polls(spark, tmp_path, capsys):
+    """--tail-glob daemon mode: poll 1 ships the initial complete lines,
+    growth between polls ships incrementally under per-poll run_ids, and
+    a RESTARTED invocation resumes from the persisted offsets (no
+    re-shipping)."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"alpha one\nbeta two\npartial")
+    out = str(tmp_path / "out")
+
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "tail1",
+    ])
+    assert rc == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["new_lines"] == 2 and lines[0]["run_id"] == "tail1-p0"
+    assert lines[-1]["total_lines"] == 2
+
+    # grow the file (completing the partial), then a NEW invocation
+    # resumes from _tailstate.json and ships only the growth
+    with open(log, "ab") as fh:
+        fh.write(b" three\ngamma four\n")
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "tail2",
+    ])
+    assert rc == 0
+    lines2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines2[0]["new_lines"] == 2  # "partial three", "gamma four"
+    assert lines2[0]["run_id"] == "tail2-p0"
+
+    # a third run with no growth ships nothing
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+    ])
+    lines3 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and lines3[0]["new_lines"] == 0
+
+    # every harvested line landed exactly once across the two runs
+    import duckdb
+
+    n, distinct = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
+    ).fetchone()
+    assert n == 4 and distinct == 4
