@@ -1894,6 +1894,171 @@ FROM p GROUP BY source, pack_id
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events stream — the telemetry
+    question a log pipeline answers first ("do users come back?"):
+    cohort = a user's first active ISO week; cell (cohort, offset) =
+    distinct users of that cohort active offset weeks later.
+
+    Scale shape: ONE distinct over (user, week) — map-side partial,
+    output |users| x |weeks|, tiny vs the event stream — then a
+    user-keyed min and a co-keyed join back (AQE reuses the hash
+    partitioning), then a hash-agg to |cohorts| x |offsets| cells. The
+    raw events shuffle once; nothing user-level ever windows."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cohort) DIV 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user reaches
+    a stage only via a strictly-later event than their previous stage
+    (first view, first click AFTER that view, first purchase AFTER that
+    click). Sequential semantics expressed as three user-keyed
+    conditional-min aggregations chained by co-partitioned joins — no
+    per-user event sorting, no window over raw events; each stage's
+    state is one row per surviving user."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return one(t1, "1_view").union(one(t2, "2_click")).union(one(t3, "3_purchase"))
+
+
+SQL_EVENT_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way join tree (region → nation → customer /
+    supplier → orders → lineitem) with local-supply predicate
+    (c_nationkey = s_nationkey): per-nation 1995 revenue for ASIA.
+    The join-mix evidence at depth: region/nation broadcast into both
+    dim sides, customer broadcast into orders, the one BIG join
+    (orders ⋈ lineitem) on the co-key, supplier broadcast into the
+    result; revenue integer-cent-exact per row before the sum."""
+    r = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(cents).cast("long").alias("revenue_cents")
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
 def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source token quota (operators/stats.py
     token_budget_cap): docs admitted in id order until the source's token
@@ -2223,6 +2388,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     # -- previously driver-green, kept inside the first-50 window --
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
@@ -2232,8 +2400,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
@@ -2252,13 +2418,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     # -- three-round-stable trivial queries rotated past the driver's

@@ -452,3 +452,49 @@ def test_span_cut_hand_countable(spark):
     assert out[4].n_removed == 16
     assert out[4].kept_text == "pre post end"
     assert all(out[i].n_words == len(rows[i - 1][1].split()) for i in out)
+
+
+def test_span_cut_property_vs_python_oracle(spark):
+    """Randomized corpora vs an independent pure-Python implementation of
+    the rule (first occurrence by (doc_id, pos) survives; covered words
+    drop; kept text reassembles in order). Small vocab + short grams force
+    dense duplication, overlapping spans, and within-doc repeats."""
+    import random
+
+    from logstash_forwarder_spark.operators.dedup import span_cut
+
+    def python_oracle(docs, n):
+        words = {i: t.split() for i, t in docs}
+        occ = []  # (gram, doc, pos)
+        for i, w in words.items():
+            for p in range(len(w) - n + 1):
+                occ.append((tuple(w[p : p + n]), i, p))
+        first = {}
+        for g, i, p in sorted(occ, key=lambda x: (x[1], x[2])):
+            first.setdefault(g, (i, p))
+        cut = {}
+        for g, i, p in occ:
+            if first[g] != (i, p):
+                cut.setdefault(i, set()).update(range(p, p + n))
+        out = {}
+        for i, w in words.items():
+            removed = cut.get(i, set())
+            kept = [x for j, x in enumerate(w) if j not in removed]
+            out[i] = (len(w), len(removed & set(range(len(w)))), " ".join(kept))
+        return out
+
+    rng = random.Random(99)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 14))))
+            for i in range(12)
+        ]
+        n = rng.choice([2, 3])
+        exp = python_oracle(docs, n)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_words, r.n_removed, r.kept_text)
+            for r in span_cut(df, n=n).collect()
+        }
+        assert got == exp, (trial, n, docs)
