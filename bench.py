@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "revenue_topk",
     "rate_anomaly",
     "curation_ledger",
+    # round 4 additions
+    "span_cut",
+    "regional_revenue",
+    "cohort_retention",
+    "token_budget_cap",
 ]
 
 
