@@ -336,6 +336,38 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.queries import q_regional_revenue
+
+    sections.append(
+        (
+            "Deep join tree (queries.q_regional_revenue, TPC-H Q5 shape)",
+            "Equi-joins only — no CartesianProduct anywhere; every "
+            "dimension side (region-filtered nation, customer, supplier, "
+            "nation-name) enters through a BroadcastExchange, and the "
+            "local-supply predicate (s_nationkey = c_nationkey) rides the "
+            "broadcast join condition instead of a post-join filter. At "
+            "gate SF, AQE broadcasts the date-filtered orders side too "
+            "(everything fits); at scale that one join falls back to the "
+            "orderkey co-key exchange — the only data-sized shuffle in "
+            "the tree.",
+            plan_of(q_regional_revenue(spark, SF_DIR)),
+        )
+    )
+
+    from logstash_forwarder_spark.queries import q_cohort_retention
+
+    sections.append(
+        (
+            "Cohort retention (queries.q_cohort_retention)",
+            "The raw event stream is aggregated FIRST (distinct user-week "
+            "hash-agg with partial aggregation); the user-keyed min and "
+            "the join back run on that reduced relation, and AQE reuses "
+            "the user_id hash partitioning between them — the event-level "
+            "data crosses the wire once.",
+            plan_of(q_cohort_retention(spark, SF_DIR)),
+        )
+    )
+
     # AQE skew-join split: executed (final adaptive) plan, not explain —
     # the skew markers only exist after runtime stats are in
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
