@@ -1,0 +1,125 @@
+"""Streaming sessionization == batch sessionize: the stateful fold over
+time-split micro-batches must reproduce the batch window query's per-user
+(n_sessions, n_events) exactly — including sessions that SPAN a
+micro-batch boundary (gap computed against state, not batch-local lag)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.streaming.sessionize_stream import session_stream
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long"
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user)
+
+    rows = [
+        # user 1: session A (0, 10min), session B (50, 55) — B spans the
+        # batch split below (50 in file 1; 55 in file 2)
+        ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50), ev(4, 1, 55),
+        # user 2: one event per batch, 31-min gap -> two sessions
+        ev(5, 2, 0), ev(6, 2, 31),
+        # user 3: all in file 2, ties on ts broken by event_id
+        ev(7, 3, 100), ev(8, 3, 100), ev(9, 3, 131),
+    ]
+    cut = 4  # events 1-4+5 in file 1? split below keeps ordered replay
+    file1 = [r for r in rows if r[0] in (1, 2, 3, 5)]
+    file2 = [r for r in rows if r[0] not in (1, 2, 3, 5)]
+    in_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(file1, EV_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(file2, EV_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # n_events strictly grows per user: the max-n_events emission is final
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_sessions, n_events) AS n_sessions, "
+            "max(n_events) AS n_events FROM sess_out GROUP BY user_id"
+        ).collect()
+    }
+
+    # batch twin: identical lag-window semantics on the full data
+    e = spark.createDataFrame(rows, EV_SCHEMA)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag(F.col("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in e.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("ns").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == batch == {1: (2, 4), 2: (2, 2), 3: (2, 3)}
+
+
+def test_session_stream_fixture_equals_batch_query(spark, tmp_path):
+    """Same equality on the real events fixture (sf0.001), split into two
+    time-ordered micro-batches — the streaming result must equal the
+    registry's q_sessionize output row-for-row."""
+    from logstash_forwarder_spark.queries import q_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    # TIMESTAMP_NTZ cannot cast to long (CLAUDE.md): unix_timestamp instead
+    secs = F.unix_timestamp("ts")
+    cut = ev.agg(F.expr("percentile_approx(unix_timestamp(ts), 0.5)")).first()[0]
+    in_dir = str(tmp_path / "fx_in")
+    ev.filter(secs <= cut).coalesce(1).write.mode("append").parquet(in_dir)
+    ev.filter(secs > cut).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_fx")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_sessions, n_events) AS n_sessions, "
+            "max(n_events) AS n_events FROM sess_fx GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_sessionize(spark, sf).collect()
+    }
+    assert got == batch
