@@ -123,3 +123,34 @@ def test_session_stream_fixture_equals_batch_query(spark, tmp_path):
         for r in q_sessionize(spark, sf).collect()
     }
     assert got == batch
+
+
+def test_native_session_window_agrees(spark):
+    """Spark's built-in session_window aggregation (the idiomatic
+    streaming-ready form) produces the same per-user session count as the
+    lag-window formulation on gaps strictly above/below the threshold.
+    (Boundary semantics differ by construction: session_window's window is
+    half-open, so a gap of EXACTLY 30 min starts a new session there while
+    the lag rule `gap > 30min` keeps it — same convention choice DuckDB
+    users make; our oracle pins the lag rule.)"""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m), u)
+        for u, ms in ((1, [0, 10, 50, 55]), (2, [0, 31]), (3, [100, 100, 131]))
+        for m in ms
+    ]
+    rows = [(i, ts, u) for i, (_, ts, u) in enumerate(rows, 1)]
+    e = spark.createDataFrame(rows, EV_SCHEMA)
+    native = {
+        r.user_id: r.n
+        for r in e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert native == {1: 2, 2: 2, 3: 2}

@@ -216,3 +216,34 @@ def test_log_templates_hand_check(spark):
     assert out[t].n_docs == 2 and out[t].example_doc == 1
     assert out[t].tok_total == 12 + 9  # masked word counts of docs 1,2
     assert out["user alice logged in"].n_docs == 1
+
+
+def test_token_budget_cap_property(spark):
+    """Randomized sweep: the two-level prefix sum equals a naive Python
+    cumsum at any bucket width and any partitioning."""
+    import random
+
+    from logstash_forwarder_spark.operators.stats import token_budget_cap
+
+    rng = random.Random(5)
+    for trial in range(3):
+        rows = [
+            (rng.choice(["a", "b", "c"]), i, rng.randrange(0, 50))
+            for i in rng.sample(range(1000), 60)
+        ]
+        budget = rng.randrange(50, 400)
+        width = rng.choice([1, 3, 16, 1024])
+        exp = {}
+        cums: dict = {}
+        for src, i, tok in sorted(rows, key=lambda r: (r[0], r[1])):
+            pre = cums.get(src, 0)
+            cums[src] = pre + tok
+            exp[i] = (cums[src], 1 if pre < budget else 0)
+        df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+        got = {
+            r.doc_id: (r.cum_tok, r.keep)
+            for r in token_budget_cap(
+                df.repartition(7), budget=budget, bucket_width=width
+            ).collect()
+        }
+        assert got == exp, (trial, budget, width)
