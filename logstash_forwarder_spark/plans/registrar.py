@@ -102,20 +102,61 @@ class Registrar:
 
     # -- read side -----------------------------------------------------------
 
+    INDEX_NAME = "_index.parquet"
+
     def _files(self) -> list[str]:
         return [
             os.path.join(self.path, f)
             for f in sorted(os.listdir(self.path))
-            if f.endswith(".parquet") and not f.startswith(".tmp-")
+            if f.endswith(".parquet")
+            and not f.startswith(".tmp-")
+            and f != self.INDEX_NAME
         ]
+
+    def _index_path(self) -> str:
+        return os.path.join(self.path, self.INDEX_NAME)
+
+    def _index_table(self) -> "pa.Table | None":
+        """The compaction index, if one exists: all compacted commits' rows
+        plus their snapshot_id. Live commit files OVERRIDE index rows with
+        the same snapshot_id (an idempotent re-commit after compaction
+        writes the same deterministic filename, and the file is newer)."""
+        p = self._index_path()
+        if not os.path.exists(p):
+            return None
+        return pq.read_table(p)
+
+    @staticmethod
+    def _sid_of(path: str) -> str:
+        return os.path.basename(path).rsplit("__", 1)[-1].removesuffix(".parquet")
+
+    def _live_and_index(self) -> tuple[list[str], "pa.Table | None"]:
+        """(live commit files, index rows NOT overridden by a live file)."""
+        files = self._files()
+        idx = self._index_table()
+        if idx is not None and len(files):
+            import pyarrow.compute as pc
+
+            live = {self._sid_of(f) for f in files}
+            idx = idx.filter(
+                pc.invert(pc.is_in(idx.column("snapshot_id"), pa.array(sorted(live))))
+            )
+        return files, idx
 
     def committed_sinks(self, run_id: str) -> set[str]:
         """O-X3 resume input: which sinks of this run are already done."""
         done: set[str] = set()
-        for f in self._files():
+        files, idx = self._live_and_index()
+        for f in files:
             t = pq.read_table(f, columns=["run_id", "sink"])
             for rid, sink in zip(
                 t.column("run_id").to_pylist(), t.column("sink").to_pylist()
+            ):
+                if rid == run_id:
+                    done.add(sink)
+        if idx is not None:
+            for rid, sink in zip(
+                idx.column("run_id").to_pylist(), idx.column("sink").to_pylist()
             ):
                 if rid == run_id:
                     done.add(sink)
@@ -131,10 +172,15 @@ class Registrar:
         return t.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
 
     def lineage(self, run_id: str | None = None) -> pa.Table:
-        files = self._files()
-        if not files:
+        files, idx = self._live_and_index()
+        parts = [self._read_commit(f) for f in files]
+        if idx is not None and idx.num_rows:
+            parts.append(
+                idx.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
+            )
+        if not parts:
             return _ARROW_SCHEMA.empty_table()
-        t = pa.concat_tables([self._read_commit(f) for f in files])
+        t = pa.concat_tables(parts)
         if run_id is not None:
             import pyarrow.compute as pc
 
@@ -145,10 +191,83 @@ class Registrar:
         """The checkpoint table as a DataFrame (for anti-join resume plans)."""
         from ..schema import CHECKPOINT_SCHEMA
 
-        files = self._files()
-        if not files:
+        files, idx = self._live_and_index()
+        dfs = []
+        if files:
+            dfs.append(spark.read.schema(CHECKPOINT_SCHEMA).parquet(*files))
+        if idx is not None and idx.num_rows:
+            rows = idx.select([f_.name for f_ in _ARROW_SCHEMA]).cast(
+                _ARROW_SCHEMA
+            )
+            dfs.append(
+                spark.createDataFrame(rows.to_pylist(), CHECKPOINT_SCHEMA)
+            )
+        if not dfs:
             return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return spark.read.schema(CHECKPOINT_SCHEMA).parquet(*files)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.union(d)
+        return out
+
+    # -- maintenance (Iceberg parity: manifest compaction) --------------------
+
+    def compact(self, *, delete_covered: bool = True) -> int:
+        """Fold every commit file into ONE atomically-swapped index parquet
+        (`_index.parquet`) — Iceberg's manifest-list compaction for this
+        layout. All lineage rows AND snapshot identity (snapshot_id from
+        the commit filename, committed_at from the rows) are preserved, so
+        resume, lineage audits, `snapshots()` ordering and time travel are
+        unchanged — asserted equal in tests. With ``delete_covered`` the
+        folded commit files are removed afterwards: thousands of
+        metadata-sized files become one, and checkpoint load cost stops
+        growing with commit count.
+
+        Crash-safe: the index swap is a single `os.replace`; a crash
+        before any deletion leaves covered files in place, which readers
+        ignore via the live-overrides-index rule (same snapshot_id).
+        Idempotent: a re-commit AFTER compaction writes the same
+        deterministic filename and overrides its index rows.
+
+        Returns the number of commit files folded."""
+        files = self._files()
+        prev = self._index_table()
+        parts = []
+        for f in files:
+            t = self._read_commit(f)
+            parts.append(
+                t.append_column(
+                    "snapshot_id", pa.array([self._sid_of(f)] * t.num_rows)
+                )
+            )
+        if prev is not None:
+            covered = {self._sid_of(f) for f in files}
+            if covered:
+                import pyarrow.compute as pc
+
+                prev = prev.filter(
+                    pc.invert(
+                        pc.is_in(
+                            prev.column("snapshot_id"), pa.array(sorted(covered))
+                        )
+                    )
+                )
+            parts.append(prev)
+        if not parts:
+            return 0
+        idx_schema = _ARROW_SCHEMA.append(pa.field("snapshot_id", pa.string()))
+        merged = pa.concat_tables(
+            [p.select([f_.name for f_ in idx_schema]).cast(idx_schema) for p in parts]
+        )
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, self._index_path())
+        if delete_covered:
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return len(files)
 
 
 # -- Iceberg-style snapshot surface ------------------------------------------
@@ -199,13 +318,31 @@ class SnapshotLog:
         self.registrar = registrar
 
     def snapshots(self) -> list[Snapshot]:
-        """All commits in commit order (committed_at, then filename for
-        same-microsecond ties — deterministic across re-listing)."""
+        """All commits in commit order (committed_at, then snapshot_id for
+        same-microsecond ties — deterministic across re-listing). Sources
+        both live commit files AND the compaction index (registrar
+        .compact()): snapshot identity survives compaction, so time travel
+        to a compacted snapshot keeps working; a live file overrides its
+        index entry (idempotent re-commit)."""
         snaps = []
+        live_ids = set()
         for f in self.registrar._files():
             s = _snapshot_of(f)
             if s is not None:
                 snaps.append(s)
+                live_ids.add(s.snapshot_id)
+        idx = self.registrar._index_table()
+        if idx is not None:
+            seen: dict = {}
+            for sid, rid, sink, at in zip(
+                idx.column("snapshot_id").to_pylist(),
+                idx.column("run_id").to_pylist(),
+                idx.column("sink").to_pylist(),
+                idx.column("committed_at").to_pylist(),
+            ):
+                if sid not in live_ids and sid not in seen:
+                    seen[sid] = Snapshot(sid, rid, sink, _as_utc(at), -1)
+            snaps.extend(seen.values())
         snaps.sort(key=lambda s: (s.committed_at, s.snapshot_id))
         return [
             Snapshot(

@@ -127,3 +127,92 @@ def test_cross_run_snapshot_cut(spark, tmp_path):
     assert df.count() > 0
     # and r1's data read at r2's (later) cut is fully visible
     assert log1.read_as_of(spark, out, "r1", snapshot_id=r2_last.snapshot_id).count() > 0
+
+
+def test_compaction_preserves_everything(spark, tmp_out):
+    """Registrar.compact() (Iceberg manifest-list compaction): many commit
+    files fold into ONE atomically-swapped index; resume state, lineage,
+    the snapshot log (ids, order, timestamps), and time travel to a
+    pre-compaction snapshot are all identical before and after."""
+    import pyarrow.compute as pc
+
+    from logstash_forwarder_spark.datagen import gen_sequences, gen_source_dim
+
+    log = _run(spark, tmp_out)  # run 1
+    seqs = gen_sequences(spark, 1000, num_partitions=2)
+    run_pipeline(
+        spark, seqs, gen_source_dim(spark),
+        PipelineSpec(out_dir=tmp_out, run_id="snaprun2"),
+    )
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    log = SnapshotLog(reg)
+
+    before_snaps = [(s.snapshot_id, s.run_id, s.sink, s.committed_at, s.sequence_number) for s in log.snapshots()]
+    before_sinks1 = reg.committed_sinks("snaprun")
+    before_sinks2 = reg.committed_sinks("snaprun2")
+    before_lineage = sorted(map(tuple, reg.lineage().to_pylist()))
+    before_load = sorted(map(tuple, reg.load(spark).collect()))
+    old_snap = log.snapshots()[0]
+    before_travel = sorted(
+        map(tuple, log.read_as_of(spark, tmp_out, "snaprun",
+                                  snapshot_id=old_snap.snapshot_id).collect())
+    )
+
+    n = reg.compact(delete_covered=True)
+    assert n == len(before_snaps)
+    files = os.listdir(reg.path)
+    assert files == [Registrar.INDEX_NAME]  # many files -> one
+
+    assert [(s.snapshot_id, s.run_id, s.sink, s.committed_at, s.sequence_number) for s in log.snapshots()] == before_snaps
+    assert reg.committed_sinks("snaprun") == before_sinks1
+    assert reg.committed_sinks("snaprun2") == before_sinks2
+    assert sorted(map(tuple, reg.lineage().to_pylist())) == before_lineage
+    assert sorted(map(tuple, reg.load(spark).collect())) == before_load
+    after_travel = sorted(
+        map(tuple, log.read_as_of(spark, tmp_out, "snaprun",
+                                  snapshot_id=old_snap.snapshot_id).collect())
+    )
+    assert after_travel == before_travel
+
+    # compact is idempotent on an already-compacted dir
+    assert reg.compact(delete_covered=True) == 0
+    assert sorted(map(tuple, reg.lineage().to_pylist())) == before_lineage
+
+
+def test_commits_after_compaction_and_override(spark, tmp_out):
+    """New commits after compaction appear alongside the index; a
+    re-commit of a compacted (run, sink) OVERRIDES its index rows (same
+    deterministic filename, live file wins); resume still skips."""
+    from logstash_forwarder_spark.plans.registrar import LineageRow
+
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    reg.commit("r1", "sinkA", [LineageRow(0, 10, 100)])
+    reg.commit("r1", "sinkB", [LineageRow(0, 20, 200)])
+    reg.compact(delete_covered=True)
+
+    # new commit post-compaction
+    reg.commit("r2", "sinkA", [LineageRow(0, 5, 50)])
+    assert reg.committed_sinks("r1") == {"sinkA", "sinkB"}
+    assert reg.committed_sinks("r2") == {"sinkA"}
+    snaps = SnapshotLog(reg).snapshots()
+    assert len(snaps) == 3
+
+    # override: re-commit a compacted pair with different numbers
+    reg.commit("r1", "sinkA", [LineageRow(0, 11, 111)])
+    t = reg.lineage("r1")
+    rows = {
+        (s, rc) for s, rc in zip(
+            t.column("sink").to_pylist(), t.column("row_count").to_pylist()
+        )
+    }
+    assert rows == {("sinkA", 11), ("sinkB", 20)}  # 10 replaced by 11
+    assert len(SnapshotLog(reg).snapshots()) == 3  # same identity, no dup
+    # second compaction folds the live files back in, prunes overridden rows
+    reg.compact(delete_covered=True)
+    t = reg.lineage("r1")
+    rows = {
+        (s, rc) for s, rc in zip(
+            t.column("sink").to_pylist(), t.column("row_count").to_pylist()
+        )
+    }
+    assert rows == {("sinkA", 11), ("sinkB", 20)}
