@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         help="list the registrar's snapshot log for --out and exit",
     )
     p.add_argument(
+        "--compact-checkpoint",
+        action="store_true",
+        help="maintenance: fold --out's per-commit checkpoint files into "
+        "one atomically-swapped index (Iceberg manifest-list compaction; "
+        "resume/lineage/snapshots/time-travel preserved), then exit",
+    )
+    p.add_argument(
         "--read-as-of",
         metavar="SNAPSHOT_ID",
         help="time-travel read: per-sink row counts of --run-id's published "
@@ -79,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (local[N])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.compact_checkpoint:
+        import os
+
+        from .plans.registrar import Registrar
+
+        n = Registrar(os.path.join(args.out, "_checkpoint")).compact()
+        print(json.dumps({"compacted_commit_files": n}))
+        return 0
 
     if args.snapshots or args.read_as_of:
         # pure-metadata modes first: --snapshots never needs a SparkSession

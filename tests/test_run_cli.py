@@ -162,3 +162,20 @@ def test_cli_tail_glob_polls(spark, tmp_path, capsys):
         f"read_parquet('{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
     ).fetchone()
     assert n == 4 and distinct == 4
+
+
+def test_cli_compact_checkpoint(spark, tmp_path, capsys):
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    out = str(tmp_path / "out")
+    assert main(["--gen", "2000", "--out", out, "--run-id", "c1"]) == 0
+    capsys.readouterr()
+    assert main(["--compact-checkpoint", "--out", out]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["compacted_commit_files"] >= 2
+    # resume (exactly-once) still works off the compacted index
+    assert main(["--gen", "2000", "--out", out, "--run-id", "c1"]) == 0
+    rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["rows_staged"] == 0 and rec2["sinks_committed"] == []
