@@ -84,7 +84,7 @@ def token_budget_cap(
     group_col: str = "source",
     id_col: str = "doc_id",
     tok_col: str = "n_tok",
-    bucket_width: int = 1024,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Deterministic hard token quota per group — the hard-cap complement
     to ``mixture_weights``' probabilistic downsampling: scanning each
@@ -105,10 +105,24 @@ def token_budget_cap(
          window partition is one bucket's docs (<= bucket_width ids), so
          no partition ever holds a whole group.
 
+    ``bucket_width=None`` (default) derives the width from the actual id
+    range so the BUCKET relation itself stays bounded: width =
+    range / 65536 (min 1024), i.e. at most ~65k bucket rows per group's
+    window partition at ANY id scale — a fixed width would put
+    range/width rows in one window partition (10^9 at 10^12 dense ids),
+    recreating the hot-partition problem one level up. Costs one cheap
+    min/max aggregation job.
+
     Requires non-negative integer ids (bucket = id DIV width must order
     like id). Output: (id, group, tok, cum_tok, keep) — cum_tok is the
     inclusive running total in id order; keep in {0,1}.
     """
+    if bucket_width is None:
+        lo, hi = df.agg(
+            F.min(id_col).cast("long"), F.max(id_col).cast("long")
+        ).first()
+        span = (hi - lo + 1) if hi is not None else 1
+        bucket_width = max(1024, -(-span // 65536))
     b = df.select(
         F.col(id_col),
         F.col(group_col),
