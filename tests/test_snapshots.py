@@ -216,3 +216,41 @@ def test_commits_after_compaction_and_override(spark, tmp_out):
         )
     }
     assert rows == {("sinkA", 11), ("sinkB", 20)}
+
+
+def test_time_travel_across_compaction_boundary(spark, tmp_out):
+    """A VERSION AS OF cut can land between compacted (index-sourced) and
+    post-compaction (live-file) snapshots: the global order must interleave
+    both sources correctly and the read must resolve each side's sinks."""
+    log = _run(spark, tmp_out)  # run 1 (several sink commits)
+    reg = Registrar(os.path.join(tmp_out, "_checkpoint"))
+    reg.compact(delete_covered=True)
+
+    from logstash_forwarder_spark.datagen import gen_sequences, gen_source_dim
+
+    run_pipeline(
+        spark,
+        gen_sequences(spark, 1000, num_partitions=2),
+        gen_source_dim(spark),
+        PipelineSpec(out_dir=tmp_out, run_id="snaprun2"),
+    )
+    log = SnapshotLog(reg)
+    snaps = log.snapshots()
+    pre = [s for s in snaps if s.run_id == "snaprun"]
+    post = [s for s in snaps if s.run_id == "snaprun2"]
+    assert pre and post
+    assert max(s.sequence_number for s in pre) < min(
+        s.sequence_number for s in post
+    )
+    # cut at the last compacted snapshot: run-1 data fully visible,
+    # run-2 invisible at that version
+    cut = pre[-1].snapshot_id
+    df1 = log.read_as_of(spark, tmp_out, "snaprun", snapshot_id=cut)
+    assert df1.count() > 0
+    with pytest.raises(ValueError, match="no committed sink"):
+        log.read_as_of(spark, tmp_out, "snaprun2", snapshot_id=cut)
+    # at the newest snapshot run-2 is fully visible
+    df2 = log.read_as_of(
+        spark, tmp_out, "snaprun2", snapshot_id=snaps[-1].snapshot_id
+    )
+    assert df2.count() == 1000
