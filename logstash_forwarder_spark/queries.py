@@ -1894,6 +1894,105 @@ FROM p GROUP BY source, pack_id
 """
 
 
+def _materialize_access_logs(sf_dir: str) -> str:
+    """Apache-combined-style access log derived ARITHMETICALLY from
+    documents.parquet (ip/ts/method/path/status/bytes are pure functions
+    of doc_id and n_chars), so a grok parse of the rendered lines is
+    oracle-checkable without the oracle ever parsing a line — the same
+    trick as media_decode's BMP gate. Same content-addressed atomic
+    fixture mechanics as _materialize_log_files."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"access\x00{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+    out = os.path.join(
+        "/tmp", f"lfs_access_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import datetime as _dt
+    import tempfile
+    import uuid as _uuid
+
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).sort_by([("doc_id", "ascending")])
+    base = _dt.datetime(2024, 1, 1)
+    methods = ("GET", "POST", "PUT")
+    statuses = (200, 301, 404, 500)
+    lines = []
+    for d, n in zip(tbl.column("doc_id").to_pylist(), tbl.column("n_chars").to_pylist()):
+        ip = f"10.{(d >> 16) % 256}.{(d >> 8) % 256}.{d % 256}"
+        iso = (base + _dt.timedelta(seconds=d)).strftime("%Y-%m-%dT%H:%M:%S")
+        lines.append(
+            f'{ip} - - [{iso}] "{methods[d % 3]} /d/{d} HTTP/1.1" '
+            f"{statuses[n % 4]} {n}\n"
+        )
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
+    with open(os.path.join(stage, "access.log"), "w") as fh:
+        fh.writelines(lines)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        pass  # concurrent builder won — its dir is complete
+    return out
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok named-pattern parsing (operators/grok.py — the logstash idiom
+    the north star names): harvest a genuine Apache-style access log and
+    grok it with `%{IP} ... %{TIMESTAMP_ISO8601} "%{HTTPMETHOD}
+    %{URIPATH}" %{INT} %{INT}` compiled to ONE combined JVM regex. The
+    fixture's fields are pure functions of (doc_id, n_chars), so the
+    oracle recomputes every extracted value arithmetically — render,
+    harvest, pattern compile, extraction and :int typing are all gated
+    without DuckDB parsing a line. Row-local, zero shuffle, zero Python."""
+    from .operators.grok import grok_extract
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_access_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    g = grok_extract(
+        lines,
+        r'%{IP:client} - - \[%{TIMESTAMP_ISO8601:ts}\] '
+        r'"%{HTTPMETHOD:method} %{URIPATH:path} HTTP/1\.1" '
+        r"%{INT:status:int} %{INT:bytes:int}",
+        text_col="line",
+    )
+    return g.select(
+        F.regexp_extract("path", r"/d/(\d+)", 1).cast("long").alias("doc_id"),
+        "client",
+        "ts",
+        "method",
+        "status",
+        "bytes",
+    )
+
+
+SQL_GROK_PARSE = """
+SELECT doc_id,
+       '10.' || ((doc_id // 65536) % 256) || '.' || ((doc_id // 256) % 256)
+            || '.' || (doc_id % 256) AS client,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+                '%Y-%m-%dT%H:%M:%S') AS ts,
+       CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END AS method,
+       CAST(CASE n_chars % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                             WHEN 2 THEN 404 ELSE 500 END AS BIGINT) AS status,
+       CAST(n_chars AS BIGINT) AS bytes
+FROM documents
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -2388,6 +2487,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
+    "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -2399,7 +2499,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
-    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
@@ -2424,6 +2523,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
