@@ -233,6 +233,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if len(body) < size:
+                # a size-lying/truncated data chunk must error like the
+                # raster/Y4M decoders, not return a short sample array
+                raise ValueError(
+                    f"truncated WAV data chunk: {len(body)} < {size} bytes"
+                )
             pcm = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or pcm is None:
@@ -309,17 +315,24 @@ def media_feature_codec(kinds: pd.Series, payloads: pd.Series) -> pd.Series:
     """Combined seam adapter: sniff each payload's container (BMP/PNM
     magic vs RIFF vs YUV4MPEG2) and route to the image, audio, or video
     feature codec — one codec callable covering all three real
-    modalities."""
-    out = []
-    for k, p in zip(kinds, payloads):
-        data = bytes(p)
-        if data[:4] == b"RIFF":
-            out.append(audio_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
-        elif data[:9] == b"YUV4MPEG2":
-            out.append(video_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
-        else:
-            out.append(image_feature_codec(pd.Series([k]), pd.Series([data])).iloc[0])
-    return pd.Series(out)
+    modalities. Dispatch is mask-partitioned: each modality codec runs
+    ONCE over its slice of the batch (no per-row Series construction —
+    per-row Python measured 10-100x a batched pass, CLAUDE.md)."""
+    data = payloads.map(bytes)
+    is_audio = data.map(lambda d: d[:4] == b"RIFF")
+    is_video = data.map(lambda d: d[:9] == b"YUV4MPEG2")
+    out = pd.Series([None] * len(data), index=data.index, dtype=object)
+    for mask, codec in (
+        (is_audio, audio_feature_codec),
+        (is_video & ~is_audio, video_feature_codec),
+        (~is_audio & ~is_video, image_feature_codec),
+    ):
+        if mask.any():
+            res = codec(kinds[mask], data[mask])
+            # pandas .loc assignment aligns by INDEX; the codecs return
+            # fresh-indexed Series — assign positionally (CLAUDE.md)
+            out.values[mask.to_numpy()] = res.to_numpy()
+    return out
 
 
 # --------------------------------------------------------- Y4M (YUV4MPEG2)
@@ -371,6 +384,8 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         elif t[0] == "F":
             a, b = t[1:].split(":")
             fps = (int(a), int(b))
+            if fps[1] <= 0 or fps[0] <= 0:
+                raise ValueError(f"bad Y4M frame rate {t}")
         elif t[0] == "C":
             if t[1:].startswith("mono"):
                 mono = True

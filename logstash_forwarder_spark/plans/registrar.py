@@ -143,24 +143,41 @@ class Registrar:
             )
         return files, idx
 
+    def _with_compaction_retry(self, fn):
+        """Run a list-then-read operation, restarting it when a commit file
+        vanishes mid-read: a concurrent compact() deleted it AFTER its rows
+        moved into the index (deletion strictly follows the atomic index
+        swap), so a fresh listing sees a consistent post-compaction state.
+        Bounded retries; the last attempt propagates."""
+        for _ in range(3):
+            try:
+                return fn()
+            except FileNotFoundError:
+                continue
+        return fn()
+
     def committed_sinks(self, run_id: str) -> set[str]:
         """O-X3 resume input: which sinks of this run are already done."""
-        done: set[str] = set()
-        files, idx = self._live_and_index()
-        for f in files:
-            t = pq.read_table(f, columns=["run_id", "sink"])
-            for rid, sink in zip(
-                t.column("run_id").to_pylist(), t.column("sink").to_pylist()
-            ):
-                if rid == run_id:
-                    done.add(sink)
-        if idx is not None:
-            for rid, sink in zip(
-                idx.column("run_id").to_pylist(), idx.column("sink").to_pylist()
-            ):
-                if rid == run_id:
-                    done.add(sink)
-        return done
+
+        def read() -> set[str]:
+            done: set[str] = set()
+            files, idx = self._live_and_index()
+            for f in files:
+                t = pq.read_table(f, columns=["run_id", "sink"])
+                for rid, sink in zip(
+                    t.column("run_id").to_pylist(), t.column("sink").to_pylist()
+                ):
+                    if rid == run_id:
+                        done.add(sink)
+            if idx is not None:
+                for rid, sink in zip(
+                    idx.column("run_id").to_pylist(), idx.column("sink").to_pylist()
+                ):
+                    if rid == run_id:
+                        done.add(sink)
+            return done
+
+        return self._with_compaction_retry(read)
 
     @staticmethod
     def _read_commit(f: str) -> pa.Table:
@@ -172,15 +189,18 @@ class Registrar:
         return t.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
 
     def lineage(self, run_id: str | None = None) -> pa.Table:
-        files, idx = self._live_and_index()
-        parts = [self._read_commit(f) for f in files]
-        if idx is not None and idx.num_rows:
-            parts.append(
-                idx.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
-            )
-        if not parts:
-            return _ARROW_SCHEMA.empty_table()
-        t = pa.concat_tables(parts)
+        def read() -> pa.Table:
+            files, idx = self._live_and_index()
+            parts = [self._read_commit(f) for f in files]
+            if idx is not None and idx.num_rows:
+                parts.append(
+                    idx.select([f_.name for f_ in _ARROW_SCHEMA]).cast(_ARROW_SCHEMA)
+                )
+            if not parts:
+                return _ARROW_SCHEMA.empty_table()
+            return pa.concat_tables(parts)
+
+        t = self._with_compaction_retry(read)
         if run_id is not None:
             import pyarrow.compute as pc
 
@@ -188,26 +208,19 @@ class Registrar:
         return t
 
     def load(self, spark: SparkSession) -> DataFrame:
-        """The checkpoint table as a DataFrame (for anti-join resume plans)."""
+        """The checkpoint table as a DataFrame (for anti-join resume plans).
+
+        Materialized driver-side from ``lineage()`` (registrar state is
+        metadata-sized by design — one row per run × sink × partition): a
+        ``spark.read.parquet(*files)`` here would race a concurrent
+        ``compact()``'s file deletions at JVM scan time, past the Python
+        retry's reach."""
         from ..schema import CHECKPOINT_SCHEMA
 
-        files, idx = self._live_and_index()
-        dfs = []
-        if files:
-            dfs.append(spark.read.schema(CHECKPOINT_SCHEMA).parquet(*files))
-        if idx is not None and idx.num_rows:
-            rows = idx.select([f_.name for f_ in _ARROW_SCHEMA]).cast(
-                _ARROW_SCHEMA
-            )
-            dfs.append(
-                spark.createDataFrame(rows.to_pylist(), CHECKPOINT_SCHEMA)
-            )
-        if not dfs:
+        t = self.lineage()
+        if t.num_rows == 0:
             return spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.union(d)
-        return out
+        return spark.createDataFrame(t.to_pylist(), CHECKPOINT_SCHEMA)
 
     # -- maintenance (Iceberg parity: manifest compaction) --------------------
 
@@ -327,7 +340,10 @@ class SnapshotLog:
         snaps = []
         live_ids = set()
         for f in self.registrar._files():
-            s = _snapshot_of(f)
+            try:
+                s = _snapshot_of(f)
+            except FileNotFoundError:
+                continue  # concurrent compact() folded it into the index
             if s is not None:
                 snaps.append(s)
                 live_ids.add(s.snapshot_id)

@@ -173,31 +173,52 @@ def _tail_loop(spark, args) -> int:
 
     Offsets live in ``<out>/_tailstate.json``, written via a single-file
     atomic swap AFTER the poll's pipeline commit — a crash between commit
-    and state write re-harvests that poll's lines under a fresh run_id
-    (at-least-once across crashes, exactly-once per poll), the same
-    registrar-after-ack window the reference has (registrar.go:12-29).
-    Each poll commits under run_id ``<base>-pK`` so published data stays
-    per-poll queryable and the snapshot log records one transaction per
-    poll."""
+    and state write re-harvests that poll's lines under the SAME poll
+    run_id, whose sinks the registrar then skips (exactly-once). The poll
+    counter itself persists in the state file, so a RESTARTED invocation
+    — same ``--run-id`` or not — continues numbering instead of reusing
+    ``<base>-p0`` (which would make the registrar skip brand-new lines as
+    already-shipped and silently drop them). Each poll commits under
+    run_id ``<base>-pK`` so published data stays per-poll queryable and
+    the snapshot log records one transaction per poll."""
     import os
     import time
     import uuid
 
-    from .sources.textlog import lines_to_sequences, poll_tail_once
+    from .sources.textlog import (
+        lines_to_sequences,
+        poll_tail_once,
+        release_poll_checkpoint,
+    )
 
     state_path = os.path.join(args.out, "_tailstate.json")
     state: dict[str, tuple[int, int]] = {}
+    poll_base = 0
     if os.path.exists(state_path):
         with open(state_path) as fh:
-            state = {k: tuple(v) for k, v in json.load(fh).items()}
+            raw = json.load(fh)
+        poll_base = int(raw.pop("_polls", 0))
+        state = {k: tuple(v) for k, v in raw.items()}
     base = args.run_id or uuid.uuid4().hex[:8]
     dim = gen_source_dim(spark)
     polls = []
     for k in range(max(args.polls, 1)):
+        poll_no = poll_base + k
         harvested, new_state = poll_tail_once(spark, args.tail_glob, state)
         n_lines = harvested.count()
-        rec = {"poll": k, "new_lines": n_lines}
+        rec = {"poll": poll_no, "new_lines": n_lines}
         if n_lines:
+            # poll identity = counter + CONTENT fingerprint of the poll's
+            # resulting offsets: a pure crash-replay reproduces the same id
+            # (registrar skips, exactly-once), while a recovery poll that
+            # bundles NEW growth gets a fresh id — without this, growth
+            # harvested under an already-committed id would be skipped and
+            # silently dropped while the state advanced past it
+            import hashlib
+
+            fp = hashlib.md5(
+                json.dumps(sorted((k2, list(v)) for k2, v in new_state.items())).encode()
+            ).hexdigest()[:8]
             seqs = lines_to_sequences(harvested)
             res = run_pipeline(
                 spark,
@@ -205,7 +226,7 @@ def _tail_loop(spark, args) -> int:
                 dim,
                 PipelineSpec(
                     out_dir=args.out,
-                    run_id=f"{base}-p{k}",
+                    run_id=f"{base}-p{poll_no}-{fp}",
                     commit_mode=args.commit_mode,
                 ),
             )
@@ -215,11 +236,17 @@ def _tail_loop(spark, args) -> int:
                 rows_staged=res.rows_staged,
             )
             state = new_state
+            doc = {k2: list(v) for k2, v in state.items()}
+            doc["_polls"] = poll_no + 1
             os.makedirs(args.out, exist_ok=True)
             tmp = f"{state_path}.tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
-                json.dump({k2: list(v) for k2, v in state.items()}, fh)
+                json.dump(doc, fh)
             os.replace(tmp, state_path)
+        # this poll's eager checkpoint is superseded once its lines are
+        # committed (or there were none): free the storage, or a long
+        # --polls daemon grows executor block storage without bound
+        release_poll_checkpoint(harvested)
         print(json.dumps(rec))
         if args.poll_interval and k + 1 < args.polls:
             time.sleep(args.poll_interval)

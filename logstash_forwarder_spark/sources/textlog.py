@@ -116,6 +116,54 @@ def _split_file_arrays(buf: bytes):
     return np.arange(n, dtype=np.int64), starts, nexts, lines, complete
 
 
+# pa.binary() / pa.StringArray carry int32 offsets: one splitter pass is
+# structurally capped near 2 GiB. Buffers beyond this (a gzip-rotated log
+# easily decompresses past it) are processed in newline-aligned segments
+# and the per-segment arrays concatenated with shifted coordinates.
+_SPLIT_SEGMENT_BYTES = 1 << 30
+
+
+def _split_file_arrays_chunked(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYTES):
+    """`_split_file_arrays` for buffers of ANY size: cut the buffer into
+    <= max_segment pieces at newline boundaries (so no line straddles a
+    segment), split each, and shift line_no/offsets into file coordinates.
+    Only the final segment can carry a partial tail by construction."""
+    import numpy as np
+
+    if len(buf) <= max_segment:
+        return _split_file_arrays(buf)
+    parts = []
+    pos = 0
+    line_base = 0
+    while pos < len(buf):
+        end = min(pos + max_segment, len(buf))
+        if end < len(buf):
+            nl = buf.rfind(b"\n", pos, end)
+            if nl < 0:
+                # one line longer than a segment: extend to its newline
+                nl = buf.find(b"\n", end)
+                end = len(buf) if nl < 0 else nl + 1
+            else:
+                end = nl + 1
+        split = _split_file_arrays(buf[pos:end])
+        if split is not None:
+            ln, so, nx, lines, comp = split
+            parts.append((ln + line_base, so + pos, nx + pos, lines, comp))
+            line_base += len(ln)
+        pos = end
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+        pa.concat_arrays([pa.array(p[3]) if not isinstance(p[3], pa.Array) else p[3] for p in parts]),
+        np.concatenate([p[4] for p in parts]),
+    )
+
+
 def _maybe_decompress(buf: bytes) -> bytes:
     """Transparent gzip: rotated logs (`app.log.1.gz`, logrotate's output)
     harvest like their plain originals — something the reference never
@@ -175,7 +223,7 @@ def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         per_file = []
         for row, path in enumerate(paths):
             buf = _maybe_decompress(contents[row].as_py())
-            split = _split_file_arrays(buf)
+            split = _split_file_arrays_chunked(buf)
             if split is not None:
                 per_file.append((row, *split))
         yield _assemble_harvest_batch(batch.column("path"), per_file)
@@ -260,7 +308,12 @@ def discover_tails(
             size = os.path.getsize(p)
         except OSError:
             continue  # rotated away between glob and stat
-        if size > off:
+        if size < off:
+            # truncation (logrotate copytruncate): the reference harvester
+            # seeks 0 and re-reads on size < offset (harvester.go:57-63);
+            # line numbering restarts with the new content
+            out.append((p, 0, 0))
+        elif size > off:
             out.append((p, off, base))
     return out
 
@@ -304,7 +357,7 @@ def tail_harvest(spark, tails: DataFrame) -> DataFrame:
                         buf = f.read()
                 except OSError:
                     continue  # rotated away mid-poll; next tick re-globs
-                split = _split_file_arrays(buf)
+                split = _split_file_arrays_chunked(buf)
                 if split is None:
                     continue
                 ln, so, nx, lines, comp = split
@@ -332,6 +385,18 @@ def advance_tail_state(harvested: DataFrame) -> DataFrame:
             (F.max("line_no") + 1).cast("long").alias("base_line"),
         )
     )
+
+
+def release_poll_checkpoint(df: DataFrame) -> None:
+    """Free a SUPERSEDED poll's localCheckpoint storage (its lines are
+    committed downstream; nothing will recompute it). DataFrame.unpersist
+    does not release checkpoint blocks — only the analyzed plan's RDD
+    unpersist does (CLAUDE.md round-3). Safe no-op on non-checkpointed
+    frames."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def poll_tail_once(

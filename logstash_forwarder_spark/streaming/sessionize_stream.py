@@ -45,11 +45,14 @@ def _update(
     import numpy as np
 
     last_ms, n_sess, n_ev = state.get if state.exists else (-1, 0, 0)
-    touched = False
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        touched = True
+    # applyInPandasWithState hands ONE group's batch rows as an iterator
+    # of Arrow-sized CHUNKS in arbitrary order — the sort must run over
+    # the whole batch, not per chunk (a >maxRecordsPerBatch user would
+    # otherwise fold out-of-order chunks and miscount sessions)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    touched = bool(chunks)
+    if touched:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         # pin the epoch unit: Arrow may hand pandas datetime64[us] or [ns]
         ms = (

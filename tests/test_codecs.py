@@ -376,3 +376,25 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_wav_truncated_data_chunk_raises():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.operators.codecs import decode_wav, encode_wav
+
+    wav = encode_wav(np.array([1, 2, 3, 4], dtype=np.int16), 8000)
+    with _pytest.raises(ValueError, match="truncated WAV data"):
+        decode_wav(wav[:-3])  # data chunk size lies vs payload
+
+
+def test_y4m_zero_fps_denominator_raises():
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.operators.codecs import decode_y4m
+
+    data = b"YUV4MPEG2 W4 H2 F25:0 Cmono\n" + b"FRAME\n" + bytes(8)
+    with _pytest.raises(ValueError, match="bad Y4M frame rate"):
+        decode_y4m(data)

@@ -131,21 +131,25 @@ def test_cli_tail_glob_polls(spark, tmp_path, capsys):
     ])
     assert rc == 0
     lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
-    assert lines[0]["new_lines"] == 2 and lines[0]["run_id"] == "tail1-p0"
+    assert lines[0]["new_lines"] == 2 and lines[0]["run_id"].startswith("tail1-p0-")
     assert lines[-1]["total_lines"] == 2
 
     # grow the file (completing the partial), then a NEW invocation
     # resumes from _tailstate.json and ships only the growth
     with open(log, "ab") as fh:
         fh.write(b" three\ngamma four\n")
+    # REGRESSION (code review): restarting with the SAME --run-id must not
+    # reuse p0 (whose sinks are committed) — the poll counter persists, so
+    # new growth ships under p1 instead of being skipped and dropped
     rc = main([
         "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
-        "--run-id", "tail2",
+        "--run-id", "tail1",
     ])
     assert rc == 0
     lines2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert lines2[0]["new_lines"] == 2  # "partial three", "gamma four"
-    assert lines2[0]["run_id"] == "tail2-p0"
+    assert lines2[0]["run_id"].startswith("tail1-p1-")
+    assert lines2[0]["sinks_committed"]  # actually shipped, not skipped
 
     # a third run with no growth ships nothing
     rc = main([

@@ -154,3 +154,53 @@ def test_native_session_window_agrees(spark):
         .collect()
     }
     assert native == {1: 2, 2: 2, 3: 2}
+
+
+def test_session_stream_multi_chunk_group(spark, tmp_path):
+    """REGRESSION (code review): one user's micro-batch data arriving as
+    MULTIPLE Arrow chunks (maxRecordsPerBatch < group size) in shuffled
+    order must still fold time-sorted — the sort runs over the whole
+    drained batch, never per chunk."""
+    import datetime as dt
+    import random
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    # 40 events, sessions split at 31-min gaps every 10 events -> 4 sessions
+    rows = []
+    minute = 0
+    for i in range(40):
+        if i and i % 10 == 0:
+            minute += 31
+        else:
+            minute += 1
+        rows.append((i + 1, t0 + dt.timedelta(minutes=minute), 7))
+    random.Random(3).shuffle(rows)  # arbitrary partition order
+    in_dir = str(tmp_path / "mc_in")
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            session_stream(stream)
+            .writeStream.format("memory")
+            .queryName("mc_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql(
+        "SELECT max_by(n_sessions, n_events) AS s, max(n_events) AS e FROM mc_out"
+    ).first()
+    assert (got.s, got.e) == (4, 40)

@@ -272,3 +272,24 @@ def test_tail_harvest_growing_file(spark, tmp_path):
     polled_n = [(f.split("/")[-1], *rest) for f, *rest in polled]
     oneshot_n = [(f.split("/")[-1], *rest) for f, *rest in oneshot]
     assert polled_n == oneshot_n
+
+
+def test_tail_truncation_detection(spark, tmp_path):
+    """REGRESSION (code review): a file shrinking below its recorded offset
+    (logrotate copytruncate) must reset to offset 0 and re-harvest the new
+    content — the reference's size<offset seek-0 rule (harvester.go:57-63);
+    a stale mid-content offset would skip or garble everything."""
+    from logstash_forwarder_spark.sources.textlog import poll_tail_once
+
+    d = tmp_path / "tr"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"first one\nsecond two\n")
+    out1, state = poll_tail_once(spark, f"{d}/*.log", {})
+    assert out1.count() == 2
+
+    log.write_bytes(b"fresh after rotate\n")  # truncate + new content
+    out2, state = poll_tail_once(spark, f"{d}/*.log", state)
+    rows = [(r.line_no, r.byte_offset, r.line) for r in out2.collect()]
+    assert rows == [(0, 0, "fresh after rotate")]
+    assert state[str(log)] == (19, 1)
