@@ -293,3 +293,34 @@ def test_tail_truncation_detection(spark, tmp_path):
     rows = [(r.line_no, r.byte_offset, r.line) for r in out2.collect()]
     assert rows == [(0, 0, "fresh after rotate")]
     assert state[str(log)] == (19, 1)
+
+
+def test_split_chunked_property():
+    """The segmented splitter (the >2 GiB path, exercised at tiny segment
+    sizes) must equal the single-pass splitter on arbitrary byte soup for
+    every segment size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logstash_forwarder_spark.sources.textlog import (
+        _split_file_arrays,
+        _split_file_arrays_chunked,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        buf=st.binary(max_size=300)
+        | st.text(alphabet="ab\r\n", max_size=200).map(lambda s: s.encode()),
+        seg=st.integers(1, 64),
+    )
+    def check(buf, seg):
+        want = _split_file_arrays(buf)
+        got = _split_file_arrays_chunked(buf, max_segment=seg)
+        if want is None:
+            assert got is None
+            return
+        for i in (0, 1, 2, 4):
+            assert list(got[i]) == list(want[i])
+        assert got[3].to_pylist() == want[3].to_pylist()
+
+    check()
