@@ -102,9 +102,18 @@ def assemble_packs(
     the order-preserving concatenation; the straddle convention follows
     pack_contiguous (a doc belongs to the pack containing its first
     token, so tok_total may exceed capacity by at most one doc's tail).
+
+    Zero-token rows are DROPPED before packing: a ``size_col <= 0`` row
+    never advances ``start_off``, so unboundedly many of them could share
+    one pack_id and land in a single pandas frame — the boundedness
+    invariant above would be false for dirty corpora. Dropping keeps
+    "<= capacity docs per group" true BY CONSTRUCTION (every surviving
+    doc advances the offset by >= 1); empty docs carry no training signal
+    so the pack content is unchanged.
     """
     import pandas as pd
 
+    df = df.filter(F.col(size_col) > 0)
     packed = pack_contiguous(df, capacity, size_col, order_col, part_col)
     tok_type = df.schema[tokens_col].dataType.simpleString()
     out_schema = (

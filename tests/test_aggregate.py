@@ -76,6 +76,48 @@ def test_revenue_topk_plan_shape(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
+def test_revenue_joins_unhinted_scale_fallback(spark):
+    """VERDICT r4 #2: customer/supplier carry NO hard F.broadcast hint in
+    q_regional_revenue / q_revenue_topk (they grow linearly with scale; a
+    hard hint would OOM the driver at 100×). Two regimes, same results:
+
+    * gate SF, default threshold — AQE/statistics still pick
+      BroadcastHashJoin everywhere (no shuffle join appears), so dropping
+      the hints costs nothing at test scale;
+    * autoBroadcastJoinThreshold=-1 (the 100× stand-in) — the unhinted
+      joins genuinely degrade to shuffle joins while the HINTED
+      constant-size dims (region/nation) stay broadcast, and the oracle
+      result is bit-identical.
+    """
+    from logstash_forwarder_spark.queries import q_regional_revenue, q_revenue_topk
+
+    sf = "/root/testdata/sf0.001"
+    rr0 = q_regional_revenue(spark, sf)
+    base_rr = sorted(map(tuple, rr0.collect()))
+    plan0 = rr0._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan0
+    assert "SortMergeJoin" not in plan0 and "ShuffledHashJoin" not in plan0
+    base_tk = q_revenue_topk(spark, sf).collect()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rr = q_regional_revenue(spark, sf)
+        got_rr = sorted(map(tuple, rr.collect()))
+        plan_rr = rr._jdf.queryExecution().executedPlan().toString()
+        tk = q_revenue_topk(spark, sf)
+        got_tk = tk.collect()
+        plan_tk = tk._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for plan in (plan_rr, plan_tk):
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # hinted constant-size dims still broadcast even with stats disabled
+    assert "BroadcastHashJoin" in plan_rr
+    assert got_rr == base_rr
+    assert sorted(map(tuple, got_tk)) == sorted(map(tuple, base_tk))
+
+
 def test_rate_anomaly_planted_spike(spark, tmp_path):
     """A 10x burst hour after 6 quiet hours must flag spike=1; quiet hours
     and hours with incomplete trailing history must not."""

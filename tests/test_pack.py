@@ -211,3 +211,27 @@ def test_assemble_packs_bounded_groups(spark):
     assert out[("s", 0)].n_docs == 2 and out[("s", 0)].tok_total == 5
     assert out[("s", 1)].packed == ["f"]
     assert out[("t", 0)].packed == ["x"]
+
+
+def test_assemble_packs_drops_zero_token_rows(spark):
+    """Zero-token rows never advance start_off, so unboundedly many could
+    share one pack frame (ADVICE r4) — assemble_packs drops them, keeping
+    the <= capacity-docs-per-group invariant true by construction and the
+    pack content/offsets identical to a clean corpus."""
+    from logstash_forwarder_spark.operators.pack import assemble_packs
+
+    rows = [
+        ("s", 1, ["a", "b", "c"], 3),
+        ("s", 2, [], 0),              # dirty: empty doc between members
+        ("s", 3, ["d", "e"], 2),      # starts at 3 -> pack 0 (straddles)
+        ("s", 4, [], 0),
+        ("s", 5, ["f"], 1),           # starts at 5 -> pack 1
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, tokens array<string>, n_tok long"
+    )
+    out = {(r.source, r.pack_id): r for r in assemble_packs(df, capacity=4).collect()}
+    assert out[("s", 0)].packed == ["a", "b", "c", "d", "e"]
+    assert out[("s", 0)].n_docs == 2  # empty docs not counted
+    assert out[("s", 1)].packed == ["f"]
+    assert len(out) == 2

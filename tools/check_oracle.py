@@ -38,11 +38,14 @@ def norm(v):
 def risky_types(schema) -> list[str]:
     """Columns whose engine-specific rendering can break the driver's value
     hash even when the values are numerically identical: DECIMAL (scale
-    rendering) and float/double (repr differences). House rule (queries.py
-    docstring): compared outputs are BIGINT / strings / timestamps only."""
+    rendering), float/double (repr differences), and ARRAY/MAP (the driver's
+    canonicalizer sorts the result frame with pandas and a list-valued cell
+    is unhashable — VERDICT r4 #1, `assemble_packs` driver-RED). House rule
+    (queries.py docstring): compared outputs are BIGINT / strings /
+    timestamps only; project arrays through array_join/xxhash64 first."""
     from pyspark.sql import types as T
 
-    bad = (T.DecimalType, T.DoubleType, T.FloatType)
+    bad = (T.DecimalType, T.DoubleType, T.FloatType, T.ArrayType, T.MapType)
     return [f.name for f in schema.fields if isinstance(f.dataType, bad)]
 
 
