@@ -1992,6 +1992,120 @@ def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MONTH_ABBR = (
+    "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()
+)
+
+
+def _materialize_combined_logs(sf_dir: str) -> str:
+    """Combined-Apache-format access log (clf timestamp, quoted
+    referrer/agent) derived ARITHMETICALLY from documents.parquet — same
+    oracle trick and content-addressed atomic fixture mechanics as
+    _materialize_access_logs. Month names are rendered from an explicit
+    table (locale-proof), matching DuckDB's C-locale strftime %b."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"combined\x00{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+    out = os.path.join(
+        "/tmp", f"lfs_combined_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import datetime as _dt
+    import tempfile
+    import uuid as _uuid
+
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).sort_by([("doc_id", "ascending")])
+    base = _dt.datetime(2024, 1, 1)
+    methods = ("GET", "POST", "PUT")
+    statuses = (200, 301, 404, 500)
+    lines = []
+    for d, n in zip(tbl.column("doc_id").to_pylist(), tbl.column("n_chars").to_pylist()):
+        ip = f"10.{(d >> 16) % 256}.{(d >> 8) % 256}.{d % 256}"
+        t = base + _dt.timedelta(seconds=d)
+        clf = (
+            f"{t.day:02d}/{_MONTH_ABBR[t.month - 1]}/{t.year:04d}"
+            f":{t.hour:02d}:{t.minute:02d}:{t.second:02d} +0000"
+        )
+        lines.append(
+            f'{ip} - u{d % 97} [{clf}] "{methods[d % 3]} /d/{d} HTTP/1.1" '
+            f'{statuses[n % 4]} {n} "http://r.example/{d % 10}" '
+            f'"Mozilla/5.0 (X11; rv:{n % 7}) Engine/{n % 5}"\n'
+        )
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
+    with open(os.path.join(stage, "combined.log"), "w") as fh:
+        fh.writelines(lines)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        pass  # concurrent builder won — its dir is complete
+    return out
+
+
+def q_grok_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok COMPOSITE-pattern parsing (operators/grok.py, r5): harvest a
+    genuine combined-format access log and parse it with the single
+    library token `%{COMBINEDAPACHELOG}` — the recursive pattern
+    expansion (composites referencing composites: IPORHOST, HTTPDUSER,
+    HTTPDATE, QS) compiles to ONE JVM regex with positional groups,
+    group-count-verified at compile time. Every extracted field is a pure
+    function of (doc_id, n_chars), so the oracle recomputes them all
+    arithmetically without parsing a line. Row-local, zero shuffle,
+    zero Python."""
+    from .operators.grok import grok_extract
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_combined_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    g = grok_extract(lines, "%{COMBINEDAPACHELOG}", text_col="line")
+    return g.select(
+        F.regexp_extract("request", r"/d/(\d+)", 1).cast("long").alias("doc_id"),
+        "clientip",
+        "auth",
+        F.col("timestamp").alias("clf_ts"),
+        "verb",
+        "request",
+        "httpversion",
+        "response",
+        "bytes",
+        "referrer",
+        "agent",
+    )
+
+
+SQL_GROK_COMBINED = """
+SELECT doc_id,
+       '10.' || ((doc_id // 65536) % 256) || '.' || ((doc_id // 256) % 256)
+            || '.' || (doc_id % 256) AS clientip,
+       'u' || (doc_id % 97) AS auth,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+                '%d/%b/%Y:%H:%M:%S') || ' +0000' AS clf_ts,
+       CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END AS verb,
+       '/d/' || doc_id AS request,
+       '1.1' AS httpversion,
+       CAST(CASE n_chars % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                             WHEN 2 THEN 404 ELSE 500 END AS BIGINT) AS response,
+       CAST(n_chars AS BIGINT) AS bytes,
+       '"http://r.example/' || (doc_id % 10) || '"' AS referrer,
+       '"Mozilla/5.0 (X11; rv:' || (n_chars % 7) || ') Engine/'
+            || (n_chars % 5) || '"' AS agent
+FROM documents
+"""
+
+
 SQL_GROK_PARSE = """
 SELECT doc_id,
        '10.' || ((doc_id // 65536) % 256) || '.' || ((doc_id // 256) % 256)
@@ -2501,6 +2615,8 @@ LEFT JOIN st ON st.doc_id = wo.doc_id
 # appends — lead; three-round-stable trivial queries are rotated to the
 # tail (they stay green under tools/check_oracle.py, which checks all).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- new in round 5 --
+    "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
     # -- never driver-checked (rounds 1-3) / lost rows at r3: verify first --
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),

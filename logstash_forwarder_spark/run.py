@@ -174,7 +174,16 @@ def _tail_loop(spark, args) -> int:
     Offsets live in ``<out>/_tailstate.json``, written via a single-file
     atomic swap AFTER the poll's pipeline commit — a crash between commit
     and state write re-harvests that poll's lines under the SAME poll
-    run_id, whose sinks the registrar then skips (exactly-once). The poll
+    run_id, whose sinks the registrar then skips (exactly-once for a pure
+    crash-replay). One window is at-least-once, not exactly-once: if the
+    file ALSO grows between that crash and the restart, the recovery
+    poll's resulting offsets differ, its content fingerprint differs, and
+    the already-committed lines re-commit bundled with the growth under a
+    FRESH run_id (the alternative — reusing the old id — would make the
+    registrar skip the new growth entirely, silently dropping data; we
+    choose duplicate-on-recovery over loss). Downstream consumers reading
+    across all run_ids can dedup on ``(file, line_no)``, which is stable
+    across replays. The poll
     counter itself persists in the state file, so a RESTARTED invocation
     — same ``--run-id`` or not — continues numbering instead of reusing
     ``<base>-p0`` (which would make the registrar skip brand-new lines as

@@ -288,33 +288,65 @@ def harvest_text_stream(
 
 TAIL_STATE_SCHEMA = "file string, resume_offset long, base_line long"
 
+# head-fingerprint length: enough bytes that two different log streams
+# collide only by hash collision, small enough that the per-tick identity
+# read is one page-cached block per file
+_FP_BYTES = 4096
+
+
+def _digest(data: bytes) -> str:
+    import hashlib
+
+    return hashlib.blake2b(data, digest_size=16).hexdigest()
+
 
 def discover_tails(
-    path_glob: str, state: dict[str, tuple[int, int]]
-) -> list[tuple[str, int, int]]:
+    path_glob: str, state: dict[str, tuple]
+) -> list[tuple[str, int, int, tuple[int, str]]]:
     """One prospector tick (prospector.go:24-78): glob the pattern and
-    return (file, resume_offset, base_line) for every file whose ON-DISK
-    size exceeds its recorded offset — a metadata ``stat`` per file, no
-    content read. New files start at (0, 0). Driver-side by design: the
-    file census is registrar-sized (one entry per file), exactly the state
-    the reference's prospector holds in memory."""
+    return (file, resume_offset, base_line, head_fp) for every file that
+    needs harvesting. New files start at (0, 0). Driver-side by design:
+    the file census is registrar-sized (one entry per file), exactly the
+    state the reference's prospector holds in memory.
+
+    Identity: the reference tells "same file grew" from "new file at the
+    same path" by inode comparison (filecompare.go:10-13); a path-keyed,
+    filesystem-portable registrar uses the CONTENT head instead — a
+    fingerprint of the first ``min(_FP_BYTES, size)`` bytes, recorded in
+    state as ``(n_bytes, digest)``. Append-only growth never changes the
+    head; rotation (logrotate ``create`` replacing the path) does, even
+    when the replacement is the same size or larger — both restart at
+    byte 0 like the explicit-truncation case (``size < offset``,
+    harvester.go:57-63). The check costs one page-cached 4 KiB read per
+    file per tick, the same cost class as the stat census. Legacy state
+    entries without a fingerprint skip the check for one tick and gain
+    one at their next advance."""
     import glob as _glob
     import os
 
     out = []
     for p in sorted(_glob.glob(path_glob)):
-        off, base = state.get(p, (0, 0))
+        v = state.get(p, (0, 0))
+        off, base = int(v[0]), int(v[1])
+        rec_fp = (int(v[2]), str(v[3])) if len(v) >= 4 else None
         try:
             size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                head = f.read(_FP_BYTES)
         except OSError:
-            continue  # rotated away between glob and stat
-        if size < off:
-            # truncation (logrotate copytruncate): the reference harvester
-            # seeks 0 and re-reads on size < offset (harvester.go:57-63);
+            continue  # rotated away between glob and stat/read
+        fp = (len(head), _digest(head))
+        rotated = size < off  # truncation (logrotate copytruncate)
+        if not rotated and off > 0 and rec_fp is not None:
+            n = rec_fp[0]
+            rotated = n > len(head) or (
+                rec_fp != (fp if n == len(head) else (n, _digest(head[:n])))
+            )
+        if rotated:
             # line numbering restarts with the new content
-            out.append((p, 0, 0))
+            out.append((p, 0, 0, fp))
         elif size > off:
-            out.append((p, off, base))
+            out.append((p, off, base, fp))
     return out
 
 
@@ -400,8 +432,8 @@ def release_poll_checkpoint(df: DataFrame) -> None:
 
 
 def poll_tail_once(
-    spark, path_glob: str, state: dict[str, tuple[int, int]]
-) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+    spark, path_glob: str, state: dict[str, tuple]
+) -> tuple[DataFrame, dict[str, tuple]]:
     """One complete tail tick: discover grown files, seek-harvest their
     new bytes, and return (complete new lines, advanced state). Run it on
     an interval for slow-rotating logs — the reference's harvester loop
@@ -413,7 +445,12 @@ def poll_tail_once(
             spark.createDataFrame([], HARVEST_SCHEMA),
             dict(state),
         )
-    tdf = spark.createDataFrame(tails, TAIL_STATE_SCHEMA)
+    # head fingerprints are taken at DISCOVERY (pre-harvest), so a
+    # rotation racing the harvest is caught by the NEXT tick's check
+    fps = {p: fp for p, _, _, fp in tails}
+    tdf = spark.createDataFrame(
+        [(p, o, b) for p, o, b, _ in tails], TAIL_STATE_SCHEMA
+    )
     # eager checkpoint pins THIS tick's bytes: the kernel re-running
     # lazily after the file grew again would emit lines the advanced
     # state has not consumed (and re-emit them next poll)
@@ -422,7 +459,8 @@ def poll_tail_once(
     )
     new_state = dict(state)
     for r in advance_tail_state(harvested).collect():
-        new_state[r.file] = (r.resume_offset, r.base_line)
+        fp_len, fp_hex = fps[r.file]
+        new_state[r.file] = (r.resume_offset, r.base_line, fp_len, fp_hex)
     return harvested, new_state
 
 

@@ -32,10 +32,79 @@ def test_unknown_pattern_raises():
 def test_all_library_patterns_compile():
     import re
 
-    for name, body in GROK_PATTERNS.items():
-        re.compile(body)
+    for name in GROK_PATTERNS:
         rx, f = compile_grok(f"%{{{name}:x}}")
-        assert re.compile(rx).groups == 1 and f == [("x", None)]
+        # composites (COMBINEDAPACHELOG) also capture their inner named
+        # fields; group count always equals declared-field count
+        assert re.compile(rx).groups == len(f)
+        assert f[0] == ("x", None)
+
+
+def test_composite_httpdate_hostport():
+    import re
+
+    rx, f = compile_grok(r"\[%{HTTPDATE:ts}\] %{HOSTPORT:hp}")
+    m = re.match(rx, "[17/Aug/2026:12:00:05 +0000] db-3.example.com:5432")
+    assert m and m.group(1) == "17/Aug/2026:12:00:05 +0000"
+    assert m.group(2) == "db-3.example.com:5432"
+    assert [x[0] for x in f] == ["ts", "hp"]
+
+
+def test_combinedapachelog_fields():
+    import re
+
+    rx, f = compile_grok("%{COMBINEDAPACHELOG}")
+    line = (
+        '10.0.0.7 - frank [17/Aug/2026:12:00:05 +0000] '
+        '"GET /d/42 HTTP/1.1" 200 2326 '
+        '"http://r.example/3" "Mozilla/5.0 (X11; rv:2) Engine/1"'
+    )
+    m = re.match(rx, line)
+    assert m
+    got = {name: m.group(i) for i, (name, _) in enumerate(f, start=1)}
+    assert got["clientip"] == "10.0.0.7"
+    assert got["ident"] == "-" and got["auth"] == "frank"
+    assert got["timestamp"] == "17/Aug/2026:12:00:05 +0000"
+    assert got["verb"] == "GET" and got["request"] == "/d/42"
+    assert got["httpversion"] == "1.1"
+    assert got["response"] == "200" and got["bytes"] == "2326"
+    assert got["referrer"] == '"http://r.example/3"'
+    assert got["agent"] == '"Mozilla/5.0 (X11; rv:2) Engine/1"'
+    # typed fields per the library entry
+    casts = dict(f)
+    assert casts["response"] == "int" and casts["bytes"] == "int"
+
+
+def test_pattern_definitions_user_and_composite():
+    import re
+
+    rx, f = compile_grok(
+        r"%{SESSION:sess} from %{ENDPOINT:ep}",
+        pattern_definitions={
+            "SESSION": r"sess-\d+",
+            # user composites may reference library AND user patterns
+            "ENDPOINT": r"%{HOSTPORT}/%{SESSION}",
+        },
+    )
+    m = re.match(rx, "sess-12 from h1.example.org:80/sess-99")
+    assert m and m.group(1) == "sess-12"
+    assert m.group(2) == "h1.example.org:80/sess-99"
+    assert [x[0] for x in f] == ["sess", "ep"]
+
+
+def test_recursive_pattern_raises():
+    with pytest.raises(ValueError, match="recursive grok pattern"):
+        compile_grok("%{A:x}", pattern_definitions={"A": "%{B}", "B": "%{A}"})
+
+
+def test_literal_capturing_group_raises():
+    # ADVICE r4: a raw '(' would silently shift every positional field
+    with pytest.raises(ValueError, match="capturing groups"):
+        compile_grok(r"(%{WORD:w}) %{INT:n:int}")
+    with pytest.raises(ValueError, match="capturing groups"):
+        compile_grok(
+            "%{BAD:x}", pattern_definitions={"BAD": r"(a|b)c"}
+        )
 
 
 def test_grok_extract_typing_and_failure(spark):

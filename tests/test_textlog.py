@@ -235,7 +235,7 @@ def test_tail_harvest_growing_file(spark, tmp_path):
     out1, state = poll_tail_once(spark, f"{d}/*.log", state)
     rows1 = sorted((r.line_no, r.byte_offset, r.line) for r in out1.collect())
     assert rows1 == [(0, 0, "one alpha"), (1, 10, "two beta")]
-    assert state[str(log)] == (19, 2)  # partial tail NOT consumed
+    assert state[str(log)][:2] == (19, 2)  # partial tail NOT consumed
 
     # poll 2: the partial line completes (CRLF!) and one more arrives
     with open(log, "ab") as f:
@@ -243,7 +243,7 @@ def test_tail_harvest_growing_file(spark, tmp_path):
     out2, state = poll_tail_once(spark, f"{d}/*.log", state)
     rows2 = sorted((r.line_no, r.byte_offset, r.line) for r in out2.collect())
     assert rows2 == [(2, 19, "three gamma"), (3, 32, "four delta")]
-    assert state[str(log)] == (43, 4)
+    assert state[str(log)][:2] == (43, 4)
 
     # poll 3: nothing grew -> empty result, state unchanged
     out3, state3 = poll_tail_once(spark, f"{d}/*.log", state)
@@ -292,7 +292,63 @@ def test_tail_truncation_detection(spark, tmp_path):
     out2, state = poll_tail_once(spark, f"{d}/*.log", state)
     rows = [(r.line_no, r.byte_offset, r.line) for r in out2.collect()]
     assert rows == [(0, 0, "fresh after rotate")]
-    assert state[str(log)] == (19, 1)
+    assert state[str(log)][:2] == (19, 1)
+
+
+def test_tail_rotation_same_path_identity(spark, tmp_path):
+    """VERDICT r4 #6: logrotate ``create`` replacing the path with a
+    SAME-SIZE-OR-LARGER file defeats the size<offset truncation rule —
+    without an identity check the tail silently resumes mid-stream at the
+    stale offset. The head fingerprint (the reference's inode comparison,
+    filecompare.go:10-13, re-expressed content-wise) must restart both
+    cases at byte 0."""
+    from logstash_forwarder_spark.sources.textlog import poll_tail_once
+
+    d = tmp_path / "rot"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"one\ntwo\n")  # 8 bytes
+    out1, state = poll_tail_once(spark, f"{d}/*.log", {})
+    assert sorted(r.line for r in out1.collect()) == ["one", "two"]
+
+    # LARGER replacement: size (21) > offset (8) — the old rule would
+    # resume at byte 8 and emit garbage tails of the new stream
+    log.write_bytes(b"alpha\nbeta\ngamma\nxy\n")
+    out2, state = poll_tail_once(spark, f"{d}/*.log", state)
+    rows = sorted((r.line_no, r.byte_offset, r.line) for r in out2.collect())
+    assert rows == [
+        (0, 0, "alpha"), (1, 6, "beta"), (2, 11, "gamma"), (3, 17, "xy")
+    ]
+
+    # SAME-SIZE replacement: size == offset — the old rule would emit
+    # nothing at all (no growth) and permanently skip the new content
+    log.write_bytes(b"abc\ndef\nghi\njkl\nmno\n")  # same 20 bytes
+    out3, state = poll_tail_once(spark, f"{d}/*.log", state)
+    assert [r.line for r in sorted(out3.collect(), key=lambda r: r.line_no)] == [
+        "abc", "def", "ghi", "jkl", "mno"
+    ]
+
+    # pure growth after a rotation: NO false positive, only new bytes ship
+    with open(log, "ab") as f:
+        f.write(b"tail line\n")
+    out4, state = poll_tail_once(spark, f"{d}/*.log", state)
+    assert [(r.line_no, r.line) for r in out4.collect()] == [(5, "tail line")]
+
+
+def test_tail_rotation_legacy_state_tolerated(spark, tmp_path):
+    """A pre-fingerprint state file (2-element entries) keeps working:
+    the identity check is skipped for one tick, growth still ships, and
+    the advanced state gains a fingerprint."""
+    from logstash_forwarder_spark.sources.textlog import poll_tail_once
+
+    d = tmp_path / "leg"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"one\ntwo\nthree\n")
+    legacy = {str(log): (8, 2)}  # as loaded from an old _tailstate.json
+    out, state = poll_tail_once(spark, f"{d}/*.log", legacy)
+    assert [(r.line_no, r.line) for r in out.collect()] == [(2, "three")]
+    assert len(state[str(log)]) == 4  # fingerprint recorded on advance
 
 
 def test_split_chunked_property():
