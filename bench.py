@@ -131,16 +131,36 @@ def main() -> None:
     # Retry-until-quiet AND until-consensus: steal-gated samples are
     # discarded, and sampling continues until the two fastest quiet trials
     # agree within 20% (round 2 proved low steal alone is not enough: two
-    # "quiet" trials came in 2.2× apart). Min of the consensus pair is the
-    # reported number; every trial is published for transparency.
-    trials = timed_trials(one_trial, n_trials=2, agree=0.20, max_attempts=6)
-    e2e = best(trials)["sec"]
-    from logstash_forwarder_spark.benchutil import consensus_reached
+    # "quiet" trials came in 2.2× apart). Steal storms can outlast a whole
+    # 6-attempt block (round 4: every attempt gated, twice in a row), so
+    # the block itself retries — up to $SPARK_GRAFT_E2E_BLOCKS blocks with
+    # a short pause between, certifying on the ACCUMULATED quiet samples.
+    # Min of the consensus pair is the reported number; every trial is
+    # published for transparency.
+    from logstash_forwarder_spark.benchutil import consensus_over
 
-    e2e_consensus = consensus_reached(trials)
+    blocks = int(os.environ.get("SPARK_GRAFT_E2E_BLOCKS", "6"))
+    trials: list[dict] = []
+    for blk in range(blocks):
+        block = timed_trials(one_trial, n_trials=2, agree=0.20, max_attempts=6)
+        for t in block:
+            t.pop("consensus", None)  # the accumulated predicate decides
+        trials.extend(block)
+        if consensus_over(trials, n_trials=2, agree=0.20):
+            break
+        if blk + 1 < blocks:
+            print(
+                f"# e2e block {blk + 1}/{blocks} uncertified "
+                f"({len(trials)} trials so far) — pausing for the storm",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+    e2e = best(trials)["sec"]
+    e2e_consensus = consensus_over(trials, n_trials=2, agree=0.20)
     if not e2e_consensus:
         print(
-            "# WARNING: e2e trials hit the attempt cap without consensus — "
+            "# WARNING: e2e retries exhausted "
+            f"({len(trials)} trials, {blocks} blocks) without consensus — "
             "the headline is a noisy minimum, not a certified figure",
             file=sys.stderr,
         )

@@ -1028,7 +1028,7 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram rows only, never the raw data — unlike the previous
     whole-group applyInPandas, no source's full row set ever lands on a
     single worker (a 60%-hot source at 100x data would OOM one executor).
-    tests/test_queries.py asserts the plan is free of
+    tests/test_stats.py asserts the plan is free of
     FlatMapGroupsInPandas."""
     from .operators.stats import length_quantiles
 

@@ -16,8 +16,9 @@ Ordering contract: exact equality with the batch window (`lag` over
 time ACROSS micro-batches (a time-ordered replay — the harvest case).
 A late event (ts <= last seen) folds into the CURRENT session rather than
 retroactively splitting history — bounded-state streaming's standard
-tradeoff; an event-time-timeout variant with watermark would trade
-latency for exactness there.
+tradeoff. `session_stream_exact` below resolves it the other way:
+watermark + event-time timeout buy exactness under arbitrary bounded
+disorder at the cost of watermark-delay latency.
 
 Emissions: one row per TOUCHED user per batch with the updated totals
 (update mode). n_events strictly grows, so a memory-sink consumer takes
@@ -84,5 +85,108 @@ def session_stream(events_stream):
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# event-time-exact variant (VERDICT r4 #4): watermark + event-time timeout
+# --------------------------------------------------------------------------
+
+EXACT_STATE_SCHEMA = (
+    "pending array<long>, last_ms long, n_sessions long, n_events long"
+)
+
+
+def _fold_ripe(
+    pending: list[int], wm: int, last_ms: int, n_sess: int, n_ev: int
+) -> tuple[list[int], int, int, int, bool]:
+    """Finalize every buffered event at-or-below the watermark, in event-time
+    order, against the finalized tail — the same gap rule as the batch lag
+    window. Ties on ts are order-free for session counting (gap 0 either
+    way), so the buffer needs only timestamps."""
+    import numpy as np
+
+    ripe = sorted(t for t in pending if t <= wm)
+    hold = [t for t in pending if t > wm]
+    if ripe:
+        arr = np.asarray(ripe, dtype=np.int64)
+        prev = np.concatenate(([last_ms], arr[:-1]))
+        n_sess += int(((prev < 0) | (arr - prev > GAP_MS)).sum())
+        n_ev += len(ripe)
+        last_ms = int(arr[-1])
+    return hold, last_ms, n_sess, n_ev, bool(ripe)
+
+
+def _update_exact(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    pending, last_ms, n_sess, n_ev = (
+        state.get if state.exists else ([], -1, 0, 0)
+    )
+    pending = list(pending or [])
+    wm = state.getCurrentWatermarkMs()
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        ms = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        )
+        # beyond-delay late rows are filtered by the stateful operator's
+        # own late-data filter; this guard makes the fold self-sufficient
+        # anyway (an event at-or-below already-finalized time — last_ms
+        # never exceeds the watermark — cannot be spliced back without
+        # rewriting emitted history)
+        pending.extend(int(t) for t in ms if t > last_ms)
+    pending, last_ms, n_sess, n_ev, changed = _fold_ripe(
+        pending, wm, last_ms, n_sess, n_ev
+    )
+    state.update((pending, int(last_ms), int(n_sess), int(n_ev)))
+    if pending:
+        # flush timer: fires on the first micro-batch whose watermark has
+        # passed every buffered event (timestamp must exceed current wm —
+        # guaranteed, buffered events are all > wm)
+        state.setTimeoutTimestamp(max(pending) + 1)
+    if changed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sess],
+                "n_events": [n_ev],
+            }
+        )
+
+
+def session_stream_exact(events_stream, delay: str = "1 hour"):
+    """Event-time-EXACT streaming sessionization: equal to the batch lag
+    window under ARBITRARY cross-batch reordering, as long as each event
+    arrives within ``delay`` of the stream's max event time (the standard
+    watermark contract; events later than that are dropped, the documented
+    tradeoff `session_stream` resolves the other way by folding them into
+    the current session).
+
+    Mechanics: events newer than the watermark BUFFER in keyed state
+    (bounded by arrival-rate x delay per user — the same bound every
+    watermarked stateful operator carries); events at-or-below the
+    watermark can no longer be preceded by an unseen earlier event, so
+    they finalize in event-time order against the finalized tail —
+    exactly the batch window's fold. An event-time timeout set past the
+    newest buffered event flushes the remainder once the watermark
+    passes it, so emitted totals converge to the batch result without
+    waiting for new data per user. Reference analog: the registrar's
+    durable correctness under reordered acks (acks commit when safe, not
+    when received)."""
+    return (
+        events_stream.select("user_id", "ts", "event_id")
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_exact,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

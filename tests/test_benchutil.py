@@ -49,3 +49,18 @@ def test_steal_gate_caps_attempts():
     trials = timed_trials(lambda: None, n_trials=2, steal_gate=-1.0)
     assert len(trials) == 6
     assert all(t.get("gated") for t in trials)
+
+
+def test_consensus_over_accumulated_blocks():
+    from logstash_forwarder_spark.benchutil import consensus_over
+
+    # one storm-poisoned block: everything gated -> no certification
+    block1 = [{"sec": 30.0, "gated": True}, {"sec": 28.0, "gated": True}]
+    assert not consensus_over(block1)
+    # a later quiet block certifies on the ACCUMULATED evidence
+    block2 = [{"sec": 8.1}, {"sec": 8.4}]
+    assert consensus_over(block1 + block2)
+    # two quiet samples too far apart (the round-2 2.2x case) do not
+    assert not consensus_over([{"sec": 8.1}, {"sec": 18.0}])
+    # a single quiet sample is never consensus
+    assert not consensus_over([{"sec": 8.1}, {"sec": 30.0, "gated": True}])

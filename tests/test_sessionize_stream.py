@@ -204,3 +204,120 @@ def test_session_stream_multi_chunk_group(spark, tmp_path):
         "SELECT max_by(n_sessions, n_events) AS s, max(n_events) AS e FROM mc_out"
     ).first()
     assert (got.s, got.e) == (4, 40)
+
+
+def test_session_stream_exact_out_of_order(spark, tmp_path):
+    """VERDICT r4 #4: the event-time-exact variant must equal the batch lag
+    window under SHUFFLED micro-batch assignment — events scattered across
+    batches in arbitrary order (disorder bounded by the watermark delay),
+    where the bounded-state fold would miscount. Two far-future sentinel
+    files advance the watermark and fire the flush timeouts."""
+    import datetime as dt
+    import random
+
+    from logstash_forwarder_spark.streaming.sessionize_stream import (
+        session_stream_exact,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user)
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50), ev(4, 1, 55),
+        ev(5, 2, 0), ev(6, 2, 31),
+        ev(7, 3, 100), ev(8, 3, 100), ev(9, 3, 131),
+    ]
+    # adversarial delivery: random assignment of events to 3 micro-batches
+    rng = random.Random(11)
+    files = [[], [], []]
+    for r in rows:
+        files[rng.randrange(3)].append(r)
+    in_dir = str(tmp_path / "ooo_in")
+    for chunk in files:
+        if chunk:
+            spark.createDataFrame(chunk, EV_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+    # sentinels: advance max event time (file A), then let the next batch's
+    # watermark (past every real event) fire the flush timers (file B)
+    for h in (10, 11):
+        spark.createDataFrame(
+            [(900 + h, t0 + dt.timedelta(hours=h), -1)], EV_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        session_stream_exact(stream, delay="3 hours")
+        .writeStream.format("memory")
+        .queryName("ooo_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_sessions, n_events) AS n_sessions, "
+            "max(n_events) AS n_events FROM ooo_out "
+            "WHERE user_id > 0 GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: (2, 4), 2: (2, 2), 3: (2, 3)}
+
+
+def test_session_stream_exact_incremental_finalize(spark, tmp_path):
+    """Bounded state in action: with a short watermark delay, events
+    finalize (and emit) as the watermark passes them — the buffer never
+    holds the whole stream. Assert an INTERMEDIATE emission exists
+    (0 < n_events < total) and the final totals match the batch window."""
+    import datetime as dt
+    import random
+
+    from logstash_forwarder_spark.streaming.sessionize_stream import (
+        session_stream_exact,
+    )
+
+    t0 = dt.datetime(2026, 3, 1, 8, 0, 0)
+    f1 = [(i + 1, t0 + dt.timedelta(minutes=i), 7) for i in range(40)]
+    f2 = [(41 + i, t0 + dt.timedelta(minutes=75 + i), 7) for i in range(40)]
+    random.Random(5).shuffle(f1)
+    random.Random(6).shuffle(f2)
+    in_dir = str(tmp_path / "inc_in")
+    for chunk in (f1, f2):
+        spark.createDataFrame(chunk, EV_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    for h in (10, 11):
+        spark.createDataFrame(
+            [(900 + h, t0 + dt.timedelta(hours=h), -1)], EV_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        session_stream_exact(stream, delay="35 minutes")
+        .writeStream.format("memory")
+        .queryName("inc_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emis = [
+        (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT n_sessions, n_events FROM inc_out WHERE user_id = 7"
+        ).collect()
+    ]
+    assert (2, 80) in emis  # final = batch lag window: 2 sessions, 80 events
+    assert any(0 < e < 80 for _, e in emis)  # finalized before end of stream
