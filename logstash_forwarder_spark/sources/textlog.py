@@ -118,21 +118,31 @@ def _split_file_arrays(buf: bytes):
 
 # pa.binary() / pa.StringArray carry int32 offsets: one splitter pass is
 # structurally capped near 2 GiB. Buffers beyond this (a gzip-rotated log
-# easily decompresses past it) are processed in newline-aligned segments
-# and the per-segment arrays concatenated with shifted coordinates.
+# easily decompresses past it) are processed in newline-aligned segments,
+# yielded individually with shifted coordinates (never concatenated —
+# see _split_file_segments).
 _SPLIT_SEGMENT_BYTES = 1 << 30
 
 
-def _split_file_arrays_chunked(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYTES):
-    """`_split_file_arrays` for buffers of ANY size: cut the buffer into
-    <= max_segment pieces at newline boundaries (so no line straddles a
-    segment), split each, and shift line_no/offsets into file coordinates.
-    Only the final segment can carry a partial tail by construction."""
-    import numpy as np
+def _split_file_segments(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYTES):
+    """`_split_file_arrays` for buffers of ANY size, as a GENERATOR of
+    per-segment tuples: cut the buffer into <= max_segment pieces at
+    newline boundaries (so no line straddles a segment), split each, and
+    shift line_no/offsets into file coordinates. Only the final segment
+    can carry a partial tail by construction.
 
+    Yielding segments (instead of concatenating them) is what keeps the
+    ANY-size claim true end-to-end: each segment's StringArray stays under
+    Arrow's int32 offset cap, and the harvest kernels emit one RecordBatch
+    per bounded group of segments (ADVICE r4 — `pa.concat_arrays` over
+    >2 GiB of line bytes raises 'offset overflow'). The one remaining
+    structural cap is a SINGLE line longer than ~2 GiB, which no splitter
+    with int32-offset output can represent."""
     if len(buf) <= max_segment:
-        return _split_file_arrays(buf)
-    parts = []
+        split = _split_file_arrays(buf)
+        if split is not None:
+            yield split
+        return
     pos = 0
     line_base = 0
     while pos < len(buf):
@@ -148,9 +158,18 @@ def _split_file_arrays_chunked(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYT
         split = _split_file_arrays(buf[pos:end])
         if split is not None:
             ln, so, nx, lines, comp = split
-            parts.append((ln + line_base, so + pos, nx + pos, lines, comp))
+            yield (ln + line_base, so + pos, nx + pos, lines, comp)
             line_base += len(ln)
         pos = end
+
+
+def _split_file_arrays_chunked(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYTES):
+    """Concatenating wrapper over `_split_file_segments` for SMALL buffers
+    (tests, property sweeps). Kernels must NOT use this on unbounded input
+    — the concat re-introduces the int32 offset cap the generator avoids."""
+    import numpy as np
+
+    parts = list(_split_file_segments(buf, max_segment))
     if not parts:
         return None
     if len(parts) == 1:
@@ -159,7 +178,7 @@ def _split_file_arrays_chunked(buf: bytes, max_segment: int = _SPLIT_SEGMENT_BYT
         np.concatenate([p[0] for p in parts]),
         np.concatenate([p[1] for p in parts]),
         np.concatenate([p[2] for p in parts]),
-        pa.concat_arrays([pa.array(p[3]) if not isinstance(p[3], pa.Array) else p[3] for p in parts]),
+        pa.concat_arrays([p[3] for p in parts]),
         np.concatenate([p[4] for p in parts]),
     )
 
@@ -214,19 +233,33 @@ def _assemble_harvest_batch(path_col, per_file) -> pa.RecordBatch:
     )
 
 
+# output batches flush when their accumulated line bytes reach this, so no
+# assemble-time concat can approach Arrow's int32 offset cap (each segment
+# is itself <= _SPLIT_SEGMENT_BYTES, so a batch tops out under 2 GiB)
+_FLUSH_BYTES = 1 << 30
+
+
 def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Per-batch: one vectorized split per file (Python touches each FILE
-    once, never each line), then a single concat per column."""
+    once, never each line), assembled into output RecordBatches whose line
+    bytes are bounded by ``_FLUSH_BYTES`` — mapInArrow may yield many
+    batches, so files (or segmented giant files) beyond the budget roll
+    into the next batch instead of overflowing a concat."""
     for batch in batches:
-        paths = batch.column("path").to_pylist()
+        paths = batch.column("path")
         contents = batch.column("content")
-        per_file = []
-        for row, path in enumerate(paths):
+        pending: list = []
+        pending_bytes = 0
+        for row in range(len(paths)):
             buf = _maybe_decompress(contents[row].as_py())
-            split = _split_file_arrays_chunked(buf)
-            if split is not None:
-                per_file.append((row, *split))
-        yield _assemble_harvest_batch(batch.column("path"), per_file)
+            for seg in _split_file_segments(buf):
+                seg_bytes = seg[3].nbytes
+                if pending and pending_bytes + seg_bytes > _FLUSH_BYTES:
+                    yield _assemble_harvest_batch(paths, pending)
+                    pending, pending_bytes = [], 0
+                pending.append((row, *seg))
+                pending_bytes += seg_bytes
+        yield _assemble_harvest_batch(paths, pending)
 
 
 def harvest_text_files(spark, path_glob: str) -> DataFrame:
@@ -379,7 +412,9 @@ def tail_harvest(spark, tails: DataFrame) -> DataFrame:
             paths = b.column("file").to_pylist()
             offs = b.column("resume_offset").to_pylist()
             bases = b.column("base_line").to_pylist()
-            per_file = []
+            file_col = b.column("file")
+            pending: list = []
+            pending_bytes = 0
             for row, (p, off, base) in enumerate(zip(paths, offs, bases)):
                 try:
                     with open(p, "rb") as f:
@@ -389,15 +424,20 @@ def tail_harvest(spark, tails: DataFrame) -> DataFrame:
                         buf = f.read()
                 except OSError:
                     continue  # rotated away mid-poll; next tick re-globs
-                split = _split_file_arrays_chunked(buf)
-                if split is None:
-                    continue
-                ln, so, nx, lines, comp = split
-                per_file.append(
-                    (row, ln + int(base), so + int(off), nx + int(off),
-                     lines, comp)
-                )
-            yield _assemble_harvest_batch(b.column("file"), per_file)
+                # same bounded-flush discipline as _harvest_kernel: a poll
+                # that catches up on >2 GiB of growth must not overflow the
+                # assemble-time concat
+                for ln, so, nx, lines, comp in _split_file_segments(buf):
+                    seg_bytes = lines.nbytes
+                    if pending and pending_bytes + seg_bytes > _FLUSH_BYTES:
+                        yield _assemble_harvest_batch(file_col, pending)
+                        pending, pending_bytes = [], 0
+                    pending.append(
+                        (row, ln + int(base), so + int(off),
+                         nx + int(off), lines, comp)
+                    )
+                    pending_bytes += seg_bytes
+            yield _assemble_harvest_batch(file_col, pending)
 
     return tails.select("file", "resume_offset", "base_line").mapInArrow(
         kernel, HARVEST_SCHEMA

@@ -380,3 +380,25 @@ def test_split_chunked_property():
         assert got[3].to_pylist() == want[3].to_pylist()
 
     check()
+
+
+def test_harvest_kernel_bounded_flush(monkeypatch):
+    """ADVICE r4: the harvest kernel must emit MULTIPLE RecordBatches when
+    accumulated line bytes exceed the flush budget (mapInArrow allows it)
+    instead of concatenating everything into one >2 GiB batch. Driving the
+    kernel directly with a tiny budget: many batches out, same rows."""
+    import pyarrow as pa
+
+    from logstash_forwarder_spark.sources import textlog
+
+    paths = pa.array([f"/x/f{i}.log" for i in range(4)])
+    contents = pa.array(
+        [f"a{i}\nbb{i}\nccc{i}\npartial".encode() for i in range(4)],
+        pa.binary(),
+    )
+    batch = pa.RecordBatch.from_arrays([paths, contents], names=["path", "content"])
+    base = pa.Table.from_batches(list(textlog._harvest_kernel(iter([batch]))))
+    monkeypatch.setattr(textlog, "_FLUSH_BYTES", 1)
+    many = list(textlog._harvest_kernel(iter([batch])))
+    assert len(many) >= 4  # one flush per file at budget 1
+    assert pa.Table.from_batches(many).to_pylist() == base.to_pylist()
