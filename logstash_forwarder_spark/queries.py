@@ -2610,40 +2610,51 @@ LEFT JOIN st ON st.doc_id = wo.doc_id
 # ---------------------------------------------------------------------------
 
 # Ordering matters: the driver's DuckDB gate verifies only the FIRST 50
-# entries (proven in VERDICT.md round 3, "What's wrong #1").  Queries that
-# have never had a driver CORRECTNESS row — or that lost theirs to round-3
-# appends — lead; three-round-stable trivial queries are rotated to the
-# tail (they stay green under tools/check_oracle.py, which checks all).
+# entries (proven in VERDICT.md round 3, "What's wrong #1"), while
+# tools/check_oracle.py gates ALL entries every session.
+#
+# ROTATION SCHEDULE (VERDICT r4 #3 — every entry gets a driver row at
+# least every 2 rounds):
+#   * NEW, CHANGED, or previously-RED entries always enter the window
+#     immediately (top).
+#   * Entries driver-checked in round N rotate to the tail in round N+1
+#     and return to the window in round N+2 — the registry alternates
+#     halves, so CORRECTNESS_r{N} ∪ r{N-1} always covers everything.
+# Round-5 window: 1 new + 3 re-check (assemble_packs was r4-RED;
+# regional_revenue/revenue_topk changed) + the 6 analytics stranded at
+# positions 51-56 in r4 + the 14 r3-checked tail entries (due this round)
+# + 26 r4-green keepers. Round-5 tail: 21 r4-certified entries, due back
+# in round 6.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- new in round 5 --
     "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
-    # -- never driver-checked (rounds 1-3) / lost rows at r3: verify first --
-    "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
-    "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
-    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
-    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
-    "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
-    "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
-    "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
-    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
-    "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
-    # -- new this round --
-    "span_cut": (q_span_cut, SQL_SPAN_CUT),
-    "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
-    "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
+    # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
-    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
-    "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
-    "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    # -- previously driver-green, kept inside the first-50 window --
-    "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
-    "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
-    "enrich_agg": (q_enrich_agg, SQL_ENRICH_AGG),
-    "route_fanout": (q_route_fanout, SQL_ROUTE_FANOUT),
+    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
+    # -- stranded at positions 51-56 in r4 (last driver row: r3) --
+    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    # -- r3-checked tail entries, due back this round --
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "line_number": (q_line_number, SQL_LINE_NUMBER),
+    "dead_time_filter": (q_dead_time_filter, SQL_DEAD_TIME_FILTER),
+    "spool_batches": (q_spool_batches, SQL_SPOOL_BATCHES),
+    "kv_serialize": (q_kv_serialize, SQL_KV_SERIALIZE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # -- r4-green keepers (window-resident this round, tail in r6) --
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
@@ -2671,29 +2682,30 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
-    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
-    # -- three-round-stable trivial queries rotated past the driver's
-    # first-50 window (r1-r3 driver-green; still checked every session by
-    # tools/check_oracle.py which gates ALL entries) --
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
-    "line_number": (q_line_number, SQL_LINE_NUMBER),
-    "dead_time_filter": (q_dead_time_filter, SQL_DEAD_TIME_FILTER),
-    "spool_batches": (q_spool_batches, SQL_SPOOL_BATCHES),
-    "kv_serialize": (q_kv_serialize, SQL_KV_SERIALIZE),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
-    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # ---- driver window ends here (first 50) ----
+    # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
+    # in the round-6 window; still checked every session by check_oracle) --
+    "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
+    "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
+    "enrich_agg": (q_enrich_agg, SQL_ENRICH_AGG),
+    "route_fanout": (q_route_fanout, SQL_ROUTE_FANOUT),
+    "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
+    "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
+    "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
+    "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
+    "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
+    "span_cut": (q_span_cut, SQL_SPAN_CUT),
+    "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
+    "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
+    "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
 }
 
 

@@ -1,0 +1,123 @@
+"""Small-cluster plan dossier (VERDICT r4 #8): run the headline heavy
+queries at sf0.1 under the "what 100x looks like" regime —
+``spark.sql.autoBroadcastJoinThreshold=-1`` (statistics can no longer
+elect broadcasts; only explicit constant-size hints survive) and
+``spark.sql.shuffle.partitions=200`` (a small cluster's default width) —
+and report, from the FINAL adaptive plan of an EXECUTED query, the
+shuffle-exchange signatures (partitioning keys), the surviving broadcast
+exchanges, and the join mix. The claimed scale shape of each query
+(PLANS.md) is printed alongside so a reader can check them line by line.
+
+Gotchas honored (CLAUDE.md): the plan is taken from the SAME DataFrame
+that was collected (save() clones the QueryExecution); AQE plan text is
+parsed from ``explainString('formatted')``, whose node list renders the
+final plan once, instead of substring-counting the Initial+Final dump.
+
+Usage: python tools/plan_dossier.py [sf_dir] > dossier.md
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# query -> the scale shape PLANS.md claims for it
+CLAIMS = {
+    "span_dedup": (
+        "ONE gram-keyed exchange elects keepers (no pair enumeration); "
+        "doc-keyed agg folds spans back per doc"
+    ),
+    "regional_revenue": (
+        "region/nation stay broadcast (constant-size, hinted); "
+        "customer/supplier/orders joins degrade to shuffle joins "
+        "(unhinted since r5); orders⋈lineitem is the one data-sized "
+        "co-key exchange"
+    ),
+    "simhash": (
+        "signatures row-local in the scan kernel; pigeonhole band keys "
+        "are the only exchanges; hamming filter runs pair-intrinsic "
+        "before any shuffle of payloads"
+    ),
+    "curation_ledger": (
+        "benchmark shingles broadcast by explicit hint (bounded bench "
+        "set — legitimate at any scale); ONE keeper hash-agg exchange "
+        "over the materialized shingle relation"
+    ),
+    "span_cut": (
+        "ONE sh-keyed exchange (survivor election via row_number per "
+        "gram) + ONE doc-keyed exchange (coverage fold); no window ever "
+        "spans a whole group"
+    ),
+}
+
+
+def summarize(name: str, df) -> dict:
+    df.collect()  # execute: AQE finalizes; plan read from the SAME frame
+    jvm = df.sparkSession._jvm
+    txt = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # AQE formatted output renders BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" subtrees (nested subtrees too — CLAUDE.md
+    # round-2), and the numbered detail blocks span both. Collect the node
+    # ids appearing in the FINAL subtree only and count just those blocks.
+    m = re.search(r"== Final Plan ==(.*?)\+- == Initial Plan ==", txt, re.S)
+    tree = m.group(1) if m else txt
+    final_ids = set(re.findall(r"\((\d+)\)", tree))
+    shuffles = []
+    broadcasts = 0
+    joins: dict[str, int] = {}
+    for blk in re.finditer(
+        r"^\((\d+)\) (\w+)[^\n]*\n((?:(?!^\().*\n?)*)", txt, re.M
+    ):
+        nid, node, body = blk.group(1), blk.group(2), blk.group(3)
+        if nid not in final_ids:
+            continue
+        if node == "Exchange":
+            am = re.search(r"Arguments: (\w+partitioning\(.*)", body)
+            if am:
+                sig = am.group(1)
+                # strip the trailing shuffle-origin + plan-id suffixes
+                sig = re.split(r", [A-Z_]+, \[plan_id=\d+\]", sig)[0]
+                shuffles.append(re.sub(r"#\d+L?", "", sig))
+        elif node == "BroadcastExchange":
+            broadcasts += 1
+        elif node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+            joins[node] = joins.get(node, 0) + 1
+    return {
+        "shuffles": shuffles,
+        "n_broadcast": broadcasts,
+        "joins": joins,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from logstash_forwarder_spark.queries import registry
+    from logstash_forwarder_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan-dossier", master="local[8]", shuffle_partitions=200
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    reg = registry()
+    print(f"Regime: {sf_dir}, autoBroadcastJoinThreshold=-1, "
+          "shuffle.partitions=200, local[8]\n")
+    for name, claim in CLAIMS.items():
+        fn, _ = reg[name]
+        s = summarize(name, fn(spark, sf_dir))
+        print(f"### {name}\n")
+        print(f"*Claimed scale shape:* {claim}\n")
+        jl = ", ".join(f"{k}×{v}" for k, v in sorted(s["joins"].items())) or "none"
+        print(f"* joins: {jl}; broadcast exchanges: {s['n_broadcast']}")
+        print(f"* shuffle exchanges ({len(s['shuffles'])}):")
+        for sig in s["shuffles"]:
+            print(f"  * `{sig}`")
+        print()
+
+
+if __name__ == "__main__":
+    main()
