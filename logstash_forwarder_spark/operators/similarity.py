@@ -10,6 +10,12 @@
   bounded key, never |Q|×|C|.
 * ``cosine_near_dup_pairs`` — embedding near-duplicate pairs (cos ≥ τ)
   via the same LSH blocking, exact verify.
+* ``pq_fit`` / ``pq_encode`` / ``pq_topk`` — product quantization (the
+  memory side of IVF-PQ): candidates stored as m one-byte codes (~32×
+  smaller than the float corpus), ADC lookup-table scoring, exact cosine
+  re-rank of each query's top-``refine``. Complementary cost model to
+  IVF/LSH: those prune WHICH candidates are touched, PQ shrinks WHAT a
+  touched candidate costs.
 """
 
 from __future__ import annotations
@@ -644,3 +650,238 @@ def cosine_near_dup_pairs(
         "_vb",
         threshold=threshold,
     ).select("vec_a", "vec_b", "cos")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ's memory side): codes + ADC + exact re-rank
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_CODES = 16  # codewords per subspace (fits a nibble; stored one byte)
+
+
+def pq_fit(
+    candidates: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+    pool: int = 4096,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (m × n_codes × dim/m) on a BOUNDED
+    deterministic pool — the max(pool) rows with the smallest
+    xxhash64(id, seed), the same unbiased pseudo-random draw kmeans_fit
+    uses for its init pool. Vectors are L2-normalized before splitting
+    (PQ reconstructs the normalized candidate, so summed subspace dot
+    products approximate cosine). Per-subspace k-means is D²-seeded +
+    Lloyd on the pool — driver work is O(pool × dim), never O(|C|)."""
+    import numpy as np
+
+    rows = (
+        candidates.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(pool)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        rng = np.random.default_rng(np.random.SeedSequence([seed, j]))
+        k = min(n_codes, len(S))
+        # D² seeding
+        chosen = [int(rng.integers(len(S)))]
+        d2 = ((S - S[chosen[0]]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            nxt = int(rng.choice(len(S), p=p))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+        C = S[chosen].copy()
+        for _ in range(15):
+            a = np.argmin(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(k):
+                msk = a == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        if k < n_codes:  # degenerate tiny pools: pad with repeats
+            C = np.vstack([C, np.repeat(C[:1], n_codes - k, axis=0)])
+        books.append([[float(v) for v in row] for row in C])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Encode each vector as m one-byte codes (binary column) — the
+    100 TB story: a float32 corpus shrinks ~32× (dim 64 → 8 bytes/row),
+    so the ADC scan streams codes, not vectors. Row-local mapInArrow;
+    vectors are normalized before encoding (see pq_fit)."""
+    import numpy as np
+    import pyarrow as pa
+
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m, n_codes, sub = books.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def op(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index(vec_col))
+            X = _list_as_matrix(col, np)
+            n = len(X)
+            if not n:
+                continue
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((n, m), dtype=np.uint8)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                # argmin ||s - c||² = argmax (2 s·c - ||c||²)
+                scores = 2.0 * (S @ books[j].T) - (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmax(scores, axis=1).astype(np.uint8)
+            offs = pa.py_buffer(
+                (np.arange(n + 1, dtype=np.int32) * m).tobytes()
+            )
+            vals = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+            codes_arr = pa.BinaryArray.from_buffers(pa.binary(), n, [None, offs, vals])
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index(id_col)), codes_arr],
+                names=[out_id, "codes"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        op, schema=f"{out_id} {id_type}, codes binary"
+    )
+
+
+def _pq_adc_arrow(pairs: DataFrame, codebooks, refine: int) -> DataFrame:
+    """ADC (asymmetric distance computation) over (query, codes) pairs:
+    per Arrow batch, build each distinct query's m × n_codes lookup table
+    of subspace dot products ONCE, score candidates by m table gathers,
+    and emit only the per-batch top-``refine`` ids per query — the shuffle
+    carries (query_id, neighbor_id, adc) triples, never vectors."""
+    import numpy as np
+    import pyarrow as pa
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    qid_t = pairs.schema["query_id"].dataType.simpleString()
+    nid_t = pairs.schema["neighbor_id"].dataType.simpleString()
+
+    def op(batches):
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            qv = _list_as_matrix(b.column(b.schema.get_field_index("q_vec")), np)
+            codes_col = b.column(b.schema.get_field_index("codes"))
+            # BinaryArray has no .offsets accessor — read the raw buffers,
+            # honoring a possible slice offset on the array
+            off_buf = np.frombuffer(codes_col.buffers()[1], dtype=np.int32)
+            o = codes_col.offset
+            starts = off_buf[o : o + len(codes_col)].astype(np.int64)
+            vals = np.frombuffer(codes_col.buffers()[2], dtype=np.uint8)
+            codes = vals[starts[:, None] + np.arange(m)]
+            qid = b.column(b.schema.get_field_index("query_id")).to_numpy(
+                zero_copy_only=False
+            )
+            uq, inv = np.unique(qid, return_inverse=True)
+            adc = np.zeros(n, dtype=np.float64)
+            keep_idx = []
+            for u in range(len(uq)):
+                rows = np.flatnonzero(inv == u)
+                q = qv[rows[0]]
+                # LUT[j, c] = q_subj · codebook[j][c]
+                lut = np.einsum(
+                    "js,jcs->jc", q.reshape(m, sub), books
+                )
+                s = np.zeros(len(rows))
+                for j in range(m):
+                    s += lut[j, codes[rows, j]]
+                adc[rows] = s
+                if len(rows) > refine:
+                    top = np.argpartition(-s, refine - 1)[:refine]
+                    keep_idx.append(rows[top])
+                else:
+                    keep_idx.append(rows)
+            sel = pa.array(np.sort(np.concatenate(keep_idx)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("query_id")).take(sel),
+                    b.column(b.schema.get_field_index("neighbor_id")).take(sel),
+                    pa.array(adc[sel.to_numpy(zero_copy_only=False)]),
+                ],
+                names=["query_id", "neighbor_id", "adc"],
+            )
+
+    return pairs.mapInArrow(
+        op, schema=f"query_id {qid_t}, neighbor_id {nid_t}, adc double"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank — the memory-side ANN scale path
+    (IVF-PQ's PQ half): candidates are scanned as m-byte codes, each
+    query's approximate top-``refine`` survive (per-batch prune inside
+    the ADC kernel, global prune via one window over id-sized triples),
+    and ONLY those fetch their true vectors (bounded broadcast equi-join)
+    for an exact cosine re-rank and deterministic top-k.
+
+    With ``refine >= |candidates|`` the re-rank sees every candidate, so
+    the result is EXACT through the full PQ machinery (fit → encode →
+    ADC → re-rank) — the same exhaustive trick the registered IVF/LSH
+    queries use for their DuckDB oracles. Approximate recall at realistic
+    refine values is measured in tests + BENCH/RECALL.md."""
+    codebooks = pq_fit(
+        candidates, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
+        seed=seed,
+    )
+    enc = pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    adc = _pq_adc_arrow(enc.crossJoin(F.broadcast(q)), codebooks, refine)
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    survivors = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rerank = (
+        c_vec.join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = score_pairs_arrow(rerank, "q_vec", "c_vec")
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

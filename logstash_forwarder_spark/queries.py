@@ -753,6 +753,28 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("query_id", "rank", "neighbor_id")
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 with exact re-rank, in exhaustive-refine
+    mode (refine >= |candidates|): the re-rank sees every candidate, so
+    the result is EXACT through the full PQ machinery — codebook fit on a
+    bounded deterministic pool, m-byte code encoding (the ~32× memory
+    story at 100 TB), ADC lookup-table scoring, bounded re-rank join —
+    gated against the same brute-force DuckDB oracle as IVF/LSH. The
+    approximate setting (small refine) is recall-tested in
+    tests/test_similarity.py and swept in BENCH/RECALL.md."""
+    from .operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = pq_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=5,
+        refine=1_000_000,  # >= |candidates| at any gate SF → exact
+        m=8,
+    )
+    return got.select("query_id", "rank", "neighbor_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH + exact
     verify. τ=0.5 so the oracle comparison is non-vacuous on the testdata
@@ -2628,6 +2650,8 @@ LEFT JOIN st ON st.doc_id = wo.doc_id
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- new in round 5 --
     "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
+    # exhaustive-refine PQ is exact → same oracle as brute force
+    "similarity_pq": (q_similarity_pq, SQL_SIMILARITY_TOPK),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -2681,10 +2705,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition": (q_repetition, SQL_REPETITION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     # ---- driver window ends here (first 50) ----
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
     # in the round-6 window; still checked every session by check_oracle) --
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
     "enrich_agg": (q_enrich_agg, SQL_ENRICH_AGG),

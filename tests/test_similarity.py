@@ -237,3 +237,66 @@ def test_score_pairs_degenerate_rows(spark):
     )
     with _pytest.raises(Exception, match="non-uniform vector widths"):
         score_pairs_arrow(mixed.coalesce(1), "va", "vb").collect()
+
+
+def test_pq_exhaustive_refine_is_exact(spark):
+    """PQ-ADC + exact re-rank with refine >= |C| must equal brute force
+    EXACTLY (the re-rank sees every candidate, so codebook quality cannot
+    matter) — the exhaustive trick that backs the registered oracle. Also
+    pins determinism across partitionings (seeded fit pool + kernels)."""
+    from logstash_forwarder_spark.operators.similarity import pq_topk
+
+    df = _vecs(spark)
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    queries = [r for r in rows if r[0] < 3]
+    cands = [r for r in rows if r[0] >= 3]
+    qdf = spark.createDataFrame(queries, SCHEMA)
+    cdf = spark.createDataFrame(cands, SCHEMA)
+    want = _np_topk(cands, queries, 5)
+    got = pq_topk(qdf, cdf, k=5, refine=len(cands), m=8).collect()
+    for qid in (0, 1, 2):
+        g = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)
+             if r.query_id == qid]
+        assert g == want[qid]
+    got2 = pq_topk(qdf.repartition(7), cdf.repartition(5), k=5,
+                   refine=len(cands), m=8).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
+def test_pq_small_refine_recall(spark):
+    """Honest approximate regime: refine = 2k keeps high recall on this
+    data, and the planted near-duplicate (cos≈0.99) always survives the
+    ADC prune — a near-dup's codes are near the query's subspace cells."""
+    from logstash_forwarder_spark.operators.similarity import pq_topk
+
+    df = _vecs(spark)
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    queries = [r for r in rows if r[0] < 3]
+    cands = [r for r in rows if r[0] >= 3]
+    got = pq_topk(
+        spark.createDataFrame(queries, SCHEMA),
+        spark.createDataFrame(cands, SCHEMA),
+        k=5, refine=10, m=8,
+    ).collect()
+    want = _np_topk(cands, queries, 5)
+    recalls = []
+    for qid in (0, 1, 2):
+        g = {r.neighbor_id for r in got if r.query_id == qid}
+        recalls.append(len(g & set(want[qid])) / 5)
+    assert sum(recalls) / len(recalls) >= 0.5
+    assert any(r.query_id == 0 and r.neighbor_id == 999 for r in got)
+
+
+def test_pq_encode_compression_and_determinism(spark):
+    """Codes are exactly m bytes per vector (the ~32x footprint story) and
+    encoding is deterministic for identical vectors."""
+    from logstash_forwarder_spark.operators.similarity import pq_encode, pq_fit
+
+    df = _vecs(spark)
+    books = pq_fit(df, m=8, pool=64)
+    enc = pq_encode(df, books).collect()
+    assert all(len(r.codes) == 8 for r in enc)
+    by_id = {r.neighbor_id: bytes(r.codes) for r in enc}
+    # the planted near-dup of vec 0 encodes to the same or near-same codes
+    same = sum(a == b for a, b in zip(by_id[0], by_id[999]))
+    assert same >= 6  # at most 2 of 8 subspaces may disagree for cos≈0.99

@@ -55,7 +55,10 @@ def main() -> int:
 
     exact = truth_sets(brute_force_topk(q, c, k=K))
 
-    results = {"k": K, "n_queries": nq, "n_candidates": nc, "ivf": [], "lsh": []}
+    results = {
+        "k": K, "n_queries": nq, "n_candidates": nc,
+        "ivf": [], "lsh": [], "pq": [],
+    }
 
     n_cells = 16
     for n_probe in (1, 2, 4, 8, 16):
@@ -110,6 +113,21 @@ def main() -> int:
             }
         )
 
+    from logstash_forwarder_spark.operators.similarity import pq_topk
+
+    for refine in (10, 20, 40, 80, nc):
+        approx = truth_sets(pq_topk(q, c, k=K, refine=refine, m=8))
+        results["pq"].append(
+            {
+                "refine": refine,
+                "recall": round(recall(approx, exact), 4),
+                # the exact re-rank touches refine true vectors per query;
+                # the ADC scan touches every candidate but only its m-byte
+                # CODES (~32x smaller than the float corpus)
+                "frac_reranked": round(min(refine / nc, 1.0), 4),
+            }
+        )
+
     lines = [
         "# Measured ANN recall curves",
         "",
@@ -142,11 +160,38 @@ def main() -> int:
         )
     lines += [
         "",
+        "## Product quantization (m = 8 subspaces, 16 codes, ADC + exact re-rank)",
+        "",
+        "| refine | corpus fraction re-ranked | recall@10 |",
+        "|---|---|---|",
+    ]
+    for r in results["pq"]:
+        lines.append(
+            f"| {r['refine']} | {r['frac_reranked']:.3f} | {r['recall']:.3f} |"
+        )
+    lines += [
+        "",
         "Notes:",
         "- IVF's touched fraction is n_probe/n_cells (cells near-balanced by",
         "  the bounded-pool k-means); LSH's is the measured candidate-join",
         "  row count over |Q|x|C| (buckets are NOT balanced; the 64-bit",
-        "  signature join stays an equi-join at any radius).",
+        "  signature join stays an equi-join at any radius). PQ's fraction",
+        "  counts full vectors touched by the exact re-rank; its ADC scan",
+        "  reads every candidate but only the m-byte CODES (~32x smaller",
+        "  than the float corpus — the memory-side cost model, complementary",
+        "  to IVF/LSH's candidate pruning).",
+        "- **Read the curves against the random baseline**: uniformly sampling",
+        "  a fraction f of the corpus yields recall ~ f. The synthetic",
+        "  embeddings are near-uniform on the sphere — the HARDEST regime for",
+        "  ANN (the \"nearest\" neighbors of a query are barely closer than",
+        "  everything else, theta ~ pi/2 where hyperplane collision",
+        "  probability bottoms out). Every configuration beats random; on a",
+        "  real corpus with cluster structure (near-dups, topical clumps)",
+        "  theta shrinks for true neighbors and all curves move sharply up;",
+        "  the exhaustive-probe/-refine gates plus these measured floors",
+        "  bracket the behavior.",
+        "- The bottom row of each table is the registry's EXACT configuration",
+        "  (recall 1.0 by construction - the correctness gate).",
         "- Produced by tools/recall_curves.py; regenerate after touching",
         "  operators/similarity.py.",
         "",
