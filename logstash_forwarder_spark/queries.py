@@ -2142,6 +2142,199 @@ FROM documents
 """
 
 
+def q_dissect_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissect positional parsing (operators/dissect.py — logstash's
+    regex-free fast path for fixed layouts): the SAME access-log fixture
+    grok_parse regex-parses is split here on literal delimiters alone —
+    chained substring_index/substr, whole-stage codegen, zero regex in
+    the extraction, zero Python. Same output shape and arithmetic oracle
+    as grok_parse, so the two parsers gate each other."""
+    from .operators.dissect import dissect_extract
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_access_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    d = dissect_extract(
+        lines,
+        '%{client} - - [%{ts}] "%{method} %{path} HTTP/1.1" '
+        "%{status:int} %{bytes:int}",
+        text_col="line",
+    )
+    return d.select(
+        F.substring_index("path", "/", -1).cast("long").alias("doc_id"),
+        "client",
+        "ts",
+        "method",
+        "status",
+        "bytes",
+    )
+
+
+def _materialize_multiline_logs(sf_dir: str) -> str:
+    """Stack-trace-shaped multiline log derived ARITHMETICALLY from
+    documents.parquet: each doc_id renders one event of 1 + doc_id % 4
+    lines (an `EV doc_id=<id> n=<L>` head + indented `    at frame
+    <id>.<j>` continuations), sharded into 8 files by doc_id % 8 in
+    doc_id order — so the assembled events are pure functions of doc_id
+    and the oracle reconstructs every message without parsing a line.
+    Same content-addressed atomic fixture mechanics as
+    _materialize_access_logs."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"multiline\x00{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+    out = os.path.join(
+        "/tmp", f"lfs_multiline_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import tempfile
+    import uuid as _uuid
+
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).sort_by([("doc_id", "ascending")])
+    shards: list[list[str]] = [[] for _ in range(8)]
+    for d in tbl.column("doc_id").to_pylist():
+        n = 1 + d % 4
+        sh = shards[d % 8]
+        sh.append(f"EV doc_id={d} n={n}\n")
+        for j in range(1, n):
+            sh.append(f"    at frame {d}.{j}\n")
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
+    for s, sh in enumerate(shards):
+        with open(os.path.join(stage, f"ml_{s}.log"), "w") as fh:
+            fh.writelines(sh)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        pass  # concurrent builder won — its dir is complete
+    return out
+
+
+def q_multiline_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline event assembly (operators/multiline.py — the logstash
+    multiline codec the forwarder's single-line shipping defers
+    downstream): harvest a stack-trace-shaped fixture and fold
+    continuation lines into events via the start-marker running count +
+    one (file, event_no) hash-agg. Every assembled message is a pure
+    function of doc_id, so the oracle rebuilds it arithmetically —
+    harvest order, window fold and in-order re-join are all gated."""
+    from .operators.multiline import multiline_assemble
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_multiline_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    ev = multiline_assemble(lines)
+    return ev.filter(~F.col("is_orphan")).select(
+        F.regexp_extract("message", r"^EV doc_id=(\d+) ", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "message",
+    )
+
+
+SQL_MULTILINE = """
+SELECT doc_id,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_lines,
+       'EV doc_id=' || doc_id || ' n=' || (1 + doc_id % 4) ||
+       coalesce(chr(10) || array_to_string(
+           list_transform(generate_series(1, doc_id % 4),
+                          j -> '    at frame ' || doc_id || '.' || j),
+           chr(10)), '') AS message
+FROM documents
+"""
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate cap (operators/eventops.py throttle — the logstash
+    throttle filter): first event per user per day passes, the rest are
+    flagged; reported as per-user totals. The row_number window
+    partitions on (user, day) — bounded by exactly the hot-key volume
+    the cap exists to contain, never a whole-stream sort."""
+    from .operators.eventops import throttle
+
+    t = throttle(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        period="day",
+        max_per_period=1,
+    )
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("throttled").cast("long")).alias("n_throttled"),
+    )
+
+
+SQL_THROTTLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+FROM (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+GROUP BY user_id
+"""
+
+
+def q_elapsed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start/end span pairing (operators/eventops.py elapsed — the
+    logstash elapsed filter): each user's first signup paired with the
+    earliest purchase at-or-after it; microsecond-exact latency. Two
+    map-side-combinable hash-aggs + one key equi-join — never a window
+    over the raw interleaved stream. Timestamps compared as formatted
+    strings (house rule: no raw timestamp columns in compared output)."""
+    from .operators.eventops import elapsed
+
+    el = elapsed(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        start_type="signup",
+        end_type="purchase",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return el.select(
+        "user_id",
+        F.date_format("start_ts", fmt).alias("start_ts"),
+        F.date_format("end_ts", fmt).alias("end_ts"),
+        "elapsed_us",
+    )
+
+
+SQL_ELAPSED = """
+WITH s AS (
+  SELECT user_id, min(ts) AS start_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT s.user_id, s.start_ts, min(e.ts) AS end_ts
+  FROM s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.start_ts
+  GROUP BY s.user_id, s.start_ts)
+SELECT user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       CAST(date_diff('microsecond', start_ts, end_ts) AS BIGINT) AS elapsed_us
+FROM p
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -2652,6 +2845,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
     # exhaustive-refine PQ is exact → same oracle as brute force
     "similarity_pq": (q_similarity_pq, SQL_SIMILARITY_TOPK),
+    # dissect splits the same fixture grok_parse regex-parses → same oracle
+    "dissect_parse": (q_dissect_parse, SQL_GROK_PARSE),
+    "multiline_assemble": (q_multiline_assemble, SQL_MULTILINE),
+    "throttle": (q_throttle, SQL_THROTTLE),
+    "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -2701,13 +2899,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
+    # ---- driver window ends here (first 50) ----
+    # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
+    # in the round-6 window; still checked every session by check_oracle) --
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
-    # ---- driver window ends here (first 50) ----
-    # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
-    # in the round-6 window; still checked every session by check_oracle) --
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "parse_extract": (q_parse_extract, SQL_PARSE_EXTRACT),
     "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
