@@ -2391,6 +2391,36 @@ FROM p
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed heavy hitters (operators/heavyhitters.py):
+    bigrams with cnt*700 > n via two-pass Misra-Gries — per-partition
+    MG candidate sketches inside the scan kernel (union provably
+    contains every global heavy hitter when capacity ≥ inv_threshold),
+    then an exact recount of the bounded candidate set. No raw token
+    ever shuffles; the only exchange carries candidate-key partials.
+    The oracle is the naive explode-and-count — the exactness proof is
+    the equality."""
+    from .operators.heavyhitters import heavy_hitters
+
+    return heavy_hitters(
+        _docs(spark, sf_dir), ngram=2, inv_threshold=700, capacity=4096
+    )
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH w AS (
+  SELECT regexp_split_to_array(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS wl
+  FROM documents),
+g AS (
+  SELECT array_to_string(list_slice(wl, j, j+1), ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(1, len(wl)-1)) AS t(j)),
+t AS (SELECT count(*) AS n FROM g)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g, t GROUP BY gram, n HAVING count(*) * 700 > n
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -2907,6 +2937,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "throttle": (q_throttle, SQL_THROTTLE),
     "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
     "ip_range_lookup": (q_ip_range_lookup, SQL_IP_RANGE_LOOKUP),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -2951,13 +2982,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
     # ---- driver window ends here (first 50) ----
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
     # in the round-6 window; still checked every session by check_oracle) --
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition": (q_repetition, SQL_REPETITION),

@@ -67,3 +67,58 @@ def test_plan_is_jvm_only(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+# ---- randomized property sweep: compiled JVM extraction vs a pure-Python
+# dissect reference (value = up-to-first-delimiter, advance past it;
+# absent delimiter swallows the rest and empties downstream fields) ----
+def _dissect_py(lead, fields, line):
+    if not line.startswith(lead):
+        line = line[len(lead):] if len(line) >= len(lead) else ""
+    else:
+        line = line[len(lead):]
+    out = {}
+    rest = line
+    for name, cast, delim in fields:
+        if delim:
+            val = rest.split(delim, 1)[0]
+            rest = rest[len(val) + len(delim):]
+        else:
+            val = rest
+        if name:
+            out[name] = val
+    return out
+
+
+def test_random_roundtrip_vs_reference(spark):
+    import numpy as np
+
+    from logstash_forwarder_spark.operators.dissect import _tokenize
+
+    rng = np.random.default_rng(np.random.SeedSequence(20260817))
+    patterns = [
+        "%{a} %{b}|%{c}",
+        "pre:%{x} - [%{y}] %{z}",
+        "%{k}=%{v};%{rest}",
+    ]
+    val_chars = np.array(list("abcdefXYZ0123_"))
+    for pat in patterns:
+        lead, fields = _tokenize(pat)
+        rows = []
+        for _ in range(120):
+            vals = [
+                "".join(rng.choice(val_chars, rng.integers(0, 6)))
+                for _ in fields
+            ]
+            # render faithfully; occasionally corrupt by dropping a tail
+            line = lead + "".join(
+                v + d for v, d in zip(vals, (f[2] for f in fields))
+            )
+            if rng.random() < 0.25:
+                line = line[: rng.integers(0, len(line) + 1)]
+            rows.append((line,))
+        df = spark.createDataFrame(rows, "line string")
+        got = dissect_extract(df, pat).collect()
+        for (line,), g in zip(rows, got):
+            exp = _dissect_py(lead, fields, line)
+            assert g.asDict() == exp, (pat, line)

@@ -52,6 +52,33 @@ CLAIMS = {
         "gram) + ONE doc-keyed exchange (coverage fold); no window ever "
         "spans a whole group"
     ),
+    # -- r5 additions --
+    "dissect_parse": (
+        "row-local projection: chained substring_index/substr inside "
+        "the scan's codegen stage — ZERO shuffle exchanges, zero regex, "
+        "zero Python"
+    ),
+    "multiline_assemble": (
+        "ONE file-keyed exchange for the start-marker window; the "
+        "(file, event_no) hash-agg is satisfied by "
+        "hashpartitioning(file) — no second data shuffle"
+    ),
+    "ip_range_lookup": (
+        "constant-size 4096-block dim (the GeoIP-db shape): with "
+        "statistics disabled it degrades to a bucket-keyed shuffle "
+        "equi-join + exact range filter — still never a cross product; "
+        "at default thresholds AQE broadcasts the dim"
+    ),
+    "throttle": (
+        "row_number window partitioned by (user, day) — bounded by the "
+        "hot-key volume the cap contains; ONE user-keyed exchange "
+        "serves both the window and the per-user rollup"
+    ),
+    "elapsed_pairs": (
+        "two map-side-combinable hash-aggs + one user-keyed equi-join "
+        "with the at-or-after predicate riding the join — never a "
+        "window over the raw interleaved stream"
+    ),
 }
 
 
