@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "regional_revenue",
     "cohort_retention",
     "token_budget_cap",
+    # round 5 additions
+    "heavy_hitters",
+    "similarity_pq",
+    "grok_combined",
+    "mutate_chain",
 ]
 
 

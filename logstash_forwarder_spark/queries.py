@@ -2421,6 +2421,163 @@ FROM g, t GROUP BY gram, n HAVING count(*) * 700 > n
 """
 
 
+def _materialize_ts_logs(sf_dir: str) -> str:
+    """Mixed-format timestamp log derived ARITHMETICALLY from
+    documents.parquet: each doc_id renders one `<doc_id> <stamp>` line
+    whose stamp format cycles by doc_id % 5 (ISO8601+offset, CLF,
+    month-name, epoch seconds, corrupt) but whose INSTANT is always
+    2024-01-01 + doc_id seconds — so the oracle recomputes every parsed
+    epoch without parsing a line. Same content-addressed atomic fixture
+    mechanics as _materialize_access_logs."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"tslog\x00{os.path.abspath(sf_dir)}\x00{st.st_size}\x00{st.st_mtime_ns}"
+    out = os.path.join(
+        "/tmp", f"lfs_tslog_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    import datetime as _dt
+    import tempfile
+    import uuid as _uuid
+
+    if os.path.exists(out):
+        try:
+            os.rename(out, f"{out}.broken.{_uuid.uuid4().hex[:8]}")
+        except OSError:
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).sort_by([("doc_id", "ascending")])
+    base = _dt.datetime(2024, 1, 1)
+    base_epoch = 1704067200  # 2024-01-01T00:00:00Z
+    lines = []
+    for d in tbl.column("doc_id").to_pylist():
+        t = base + _dt.timedelta(seconds=d)
+        hms = f"{t.hour:02d}:{t.minute:02d}:{t.second:02d}"
+        ymd = f"{t.year:04d}-{t.month:02d}-{t.day:02d}"
+        mon = _MONTH_ABBR[t.month - 1]
+        fmt = d % 5
+        if fmt == 0:
+            stamp = f"{ymd}T{hms}+0000"
+        elif fmt == 1:
+            stamp = f"{t.day:02d}/{mon}/{t.year:04d}:{hms} +0000"
+        elif fmt == 2:
+            stamp = f"{mon} {t.day:02d} {t.year:04d} {hms}"
+        elif fmt == 3:
+            stamp = str(base_epoch + d)
+        else:
+            stamp = f"corrupt~{d}"
+        lines.append(f"{d} {stamp}\n")
+    stage = tempfile.mkdtemp(prefix=os.path.basename(out) + ".stage.", dir="/tmp")
+    with open(os.path.join(stage, "stamps.log"), "w") as fh:
+        fh.writelines(lines)
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+    try:
+        os.rename(stage, out)
+    except OSError:
+        pass  # concurrent builder won — its dir is complete
+    return out
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format timestamp parsing (operators/datefilter.py — the
+    logstash `date` filter): harvest a mixed-format timestamp log (four
+    formats cycling per line: ISO8601+offset, CLF, month-name, UNIX
+    epoch, plus a corrupt fifth) and resolve each line through the
+    ordered try_to_timestamp coalesce chain; corrupt lines get the
+    `_dateparsefailure` analog. Every line's instant is a pure function
+    of doc_id, so the oracle recomputes all epochs arithmetically —
+    render, harvest, dissect split, the full format chain and failure
+    tagging are gated without DuckDB parsing a stamp. Row-local, zero
+    shuffle, zero Python."""
+    from .operators.datefilter import parse_date
+    from .operators.dissect import dissect_extract
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_ts_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    d = dissect_extract(lines, "%{doc_id:long} %{raw_ts}", text_col="line")
+    p = parse_date(
+        d,
+        "raw_ts",
+        [
+            "yyyy-MM-dd'T'HH:mm:ssZ",
+            "dd/MMM/yyyy:HH:mm:ss Z",
+            "MMM dd yyyy HH:mm:ss",
+            "UNIX",
+        ],
+        target="event_ts",
+    )
+    return p.select(
+        "doc_id",
+        F.coalesce(F.unix_timestamp("event_ts"), F.lit(-1)).alias("epoch"),
+        F.col("event_ts_failed").cast("long").alias("failed"),
+    )
+
+
+SQL_DATE_PARSE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN -1
+                 ELSE 1704067200 + doc_id END AS BIGINT) AS epoch,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT) AS failed
+FROM documents
+"""
+
+
+def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field mutation chain (operators/mutate.py — the logstash `mutate`
+    filter): a 12-op chain over documents exercising copy, gsub, strip,
+    lowercase, split, join, rename, convert, sprintf replace, uppercase,
+    capitalize and the update no-op — applied in declared order, so the
+    sprintf summary sees the PRE-uppercase source while the output
+    source column is post-uppercase (op ordering is the observable
+    logstash contract). The whole chain collapses into one codegen'd
+    Project; the oracle rebuilds each field with DuckDB string
+    functions. Row-local, zero shuffle, zero Python."""
+    from .operators.mutate import mutate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    out = mutate(
+        d,
+        [
+            ("copy", "text", "norm"),
+            ("gsub", "norm", r"\s+", " "),
+            ("strip", "norm"),
+            ("lowercase", "norm"),
+            ("split", "norm", " "),
+            ("join", "norm", "_"),
+            ("rename", "norm", "slug"),
+            ("convert", "n_chars", "string"),
+            ("replace", "summary", "%{source}|%{n_chars}c"),
+            ("uppercase", "source"),
+            ("capitalize", "slug"),
+            ("update", "no_such_field", "%{source}"),
+        ],
+    )
+    return out.select("doc_id", "slug", "summary", "source", "n_chars")
+
+
+SQL_MUTATE_CHAIN = r"""
+WITH m AS (
+  SELECT doc_id, source, n_chars,
+         replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ', '_')
+           AS slug
+  FROM documents)
+SELECT doc_id,
+       upper(substring(slug, 1, 1)) || lower(substring(slug, 2)) AS slug,
+       source || '|' || n_chars || 'c' AS summary,
+       upper(source) AS source,
+       CAST(n_chars AS VARCHAR) AS n_chars
+FROM m
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -2938,6 +3095,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
     "ip_range_lookup": (q_ip_range_lookup, SQL_IP_RANGE_LOOKUP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "date_parse": (q_date_parse, SQL_DATE_PARSE),
+    "mutate_chain": (q_mutate_chain, SQL_MUTATE_CHAIN),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -2983,11 +3142,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    # ---- driver window ends here (first 50) ----
+    # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
+    # due back in the round-6 window; still checked every session by
+    # check_oracle) --
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
-    # ---- driver window ends here (first 50) ----
-    # -- r4-certified tail (all driver-green in CORRECTNESS_r04; due back
-    # in the round-6 window; still checked every session by check_oracle) --
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

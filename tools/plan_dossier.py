@@ -79,6 +79,14 @@ CLAIMS = {
         "with the at-or-after predicate riding the join — never a "
         "window over the raw interleaved stream"
     ),
+    "date_parse": (
+        "row-local try_to_timestamp coalesce chain inside the scan's "
+        "codegen stage — ZERO shuffle exchanges, zero Python"
+    ),
+    "mutate_chain": (
+        "the whole 12-op chain collapses into ONE codegen'd Project "
+        "over the scan — ZERO shuffle exchanges, zero Python"
+    ),
 }
 
 
