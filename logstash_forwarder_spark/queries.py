@@ -2578,6 +2578,198 @@ FROM m
 """
 
 
+def q_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent parsing (operators/filters.py — the logstash useragent
+    filter, uap-core idea restricted to the major families): six UA
+    shapes (Chrome, Edge-over-Chrome, Firefox, mobile Safari, curl,
+    unknown) are rendered from (doc_id, n_chars) with format_string and
+    parsed back through the ordered family/OS pattern tables — so
+    family precedence (Edge before the Chrome it embeds, iOS before the
+    macOS it quotes), per-family version extraction and the Other
+    fallbacks are all gated while the oracle recomputes every field
+    arithmetically. Row-local, zero shuffle, zero Python."""
+    from .operators.filters import useragent_extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    v = (F.col("n_chars") % 50 + 1).cast("int")
+    m = F.col("doc_id") % 6
+    ua = (
+        F.when(
+            m == 0,
+            F.format_string(
+                "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 "
+                "Chrome/%d.0.0.0 Safari/537.36",
+                v,
+            ),
+        )
+        .when(
+            m == 1,
+            F.format_string(
+                "Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0 Safari/537.36 "
+                "Edg/%d.0.100",
+                v,
+                v,
+            ),
+        )
+        .when(
+            m == 2,
+            F.format_string(
+                "Mozilla/5.0 (X11; Linux x86_64; rv:%d.0) Gecko/20100101 "
+                "Firefox/%d.0",
+                v,
+                v,
+            ),
+        )
+        .when(
+            m == 3,
+            F.format_string(
+                "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+                "Version/%d.1 Mobile/15E148 Safari/604.1",
+                v,
+            ),
+        )
+        .when(m == 4, F.format_string("curl/%d.4.0", v))
+        .otherwise(F.format_string("UnknownAgent/%d", v))
+    )
+    parsed = useragent_extract(d.withColumn("agent", ua))
+    return parsed.select(
+        "doc_id",
+        "ua_family",
+        F.coalesce("ua_major", F.lit("")).alias("ua_major"),
+        "ua_os",
+    )
+
+
+SQL_USERAGENT_PARSE = """
+WITH u AS (
+  SELECT doc_id, doc_id % 6 AS m,
+         CAST(n_chars % 50 + 1 AS VARCHAR) AS v
+  FROM documents)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge' WHEN 2 THEN 'Firefox'
+              WHEN 3 THEN 'Safari' WHEN 4 THEN 'curl'
+              ELSE 'Other' END AS ua_family,
+       CASE WHEN m = 5 THEN '' ELSE v END AS ua_major,
+       CASE m WHEN 0 THEN 'Windows' WHEN 1 THEN 'Windows' WHEN 2 THEN 'Linux'
+              WHEN 3 THEN 'iOS' ELSE 'Other' END AS ua_os
+FROM u
+"""
+
+
+def q_translate_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary translation (operators/filters.py — the logstash
+    translate filter): event_type → funnel category through a LITERAL
+    create_map + element_at with a default fallback — the exact shape of
+    logstash's in-memory dict (configuration-sized, never data-sized; no
+    join node at all, so nothing to broadcast or shuffle). Row-local,
+    codegen'd. Data-sized mappings belong to enrich_broadcast instead."""
+    from .operators.filters import translate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = translate(
+        ev,
+        "event_type",
+        {
+            "click": "engagement",
+            "view": "engagement",
+            "purchase": "revenue",
+            "signup": "acquisition",
+        },
+        dest="category",
+        default="other",
+    )
+    return out.select("event_id", "event_type", "category")
+
+
+SQL_TRANSLATE_LOOKUP = """
+SELECT event_id, event_type,
+       CASE event_type
+            WHEN 'click' THEN 'engagement'
+            WHEN 'view' THEN 'engagement'
+            WHEN 'purchase' THEN 'revenue'
+            WHEN 'signup' THEN 'acquisition'
+            ELSE 'other' END AS category
+FROM events
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV line parsing (operators/filters.py — the logstash csv
+    filter): each order renders one RFC4180 line whose quoted middle
+    field embeds a comma AND doubled-quote escapes (the
+    key,"<prio>, ''<status>''",custkey shape with '' standing for the
+    doubled quote char), then from_csv parses it back with
+    quote=escape='"'. The roundtrip must reproduce the
+    original columns exactly, so quoting, escape doubling and the typed
+    convert path are all gated arithmetically. Row-local, zero shuffle,
+    zero Python."""
+    from .operators.filters import csv_extract
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lines = o.select(
+        F.format_string(
+            '%d,"%s, ""%s""",%d',
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_custkey",
+        ).alias("line")
+    )
+    parsed = csv_extract(
+        lines,
+        "line",
+        ["id", "label", "custkey"],
+        types={"id": "long", "custkey": "long"},
+    )
+    return parsed.select("id", "label", "custkey")
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT o_orderkey AS id,
+       o_orderpriority || ', "' || o_orderstatus || '"' AS label,
+       o_custkey AS custkey
+FROM orders
+"""
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML line parsing (operators/filters.py — the logstash xml
+    filter, Spark 4's from_xml): each event renders one single-element
+    XML line mixing ATTRIBUTE fields (id, kind) and CHILD-ELEMENT
+    fields (user, val as integer cents), then from_xml parses it back
+    through the `_attr`-vs-element schema convention. The roundtrip
+    must reproduce the original columns exactly, gated arithmetically
+    against events. Row-local, zero shuffle, zero Python."""
+    from .operators.filters import xml_extract
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.format_string(
+            '<ev id="%d" kind="%s"><user>u%d</user><val>%d</val></ev>',
+            "event_id",
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("line")
+    )
+    parsed = xml_extract(
+        lines, "line", "_id long, _kind string, user string, val long"
+    )
+    return parsed.select(
+        F.col("_id").alias("event_id"),
+        F.col("_kind").alias("kind"),
+        "user",
+        F.col("val").alias("value_cents"),
+    )
+
+
+SQL_XML_ROUNDTRIP = """
+SELECT event_id, event_type AS kind, 'u' || user_id AS user,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -3097,6 +3289,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "date_parse": (q_date_parse, SQL_DATE_PARSE),
     "mutate_chain": (q_mutate_chain, SQL_MUTATE_CHAIN),
+    "useragent_parse": (q_useragent_parse, SQL_USERAGENT_PARSE),
+    "translate_lookup": (q_translate_lookup, SQL_TRANSLATE_LOOKUP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3138,14 +3334,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
-    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     # ---- driver window ends here (first 50) ----
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
     # due back in the round-6 window; still checked every session by
     # check_oracle) --
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "harvest_lines": (q_harvest_lines, SQL_HARVEST_LINES),
     "json_harvest": (q_json_harvest, SQL_JSON_HARVEST),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),

@@ -87,6 +87,22 @@ CLAIMS = {
         "the whole 12-op chain collapses into ONE codegen'd Project "
         "over the scan — ZERO shuffle exchanges, zero Python"
     ),
+    "useragent_parse": (
+        "ordered family/OS pattern tables compile to chained when/"
+        "rlike in the scan's codegen stage — ZERO shuffle, zero Python"
+    ),
+    "translate_lookup": (
+        "LITERAL create_map + element_at (configuration-sized dict): "
+        "no join node at all — ZERO shuffle, zero Python"
+    ),
+    "csv_roundtrip": (
+        "from_csv row-local projection (quote/escape handled in the "
+        "parser, not a shuffle) — ZERO shuffle, zero Python"
+    ),
+    "xml_roundtrip": (
+        "from_xml row-local projection (attribute/element fields out "
+        "of the scan stage) — ZERO shuffle, zero Python"
+    ),
 }
 
 
@@ -131,6 +147,7 @@ def summarize(name: str, df) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])  # optional: restrict to named queries
     from logstash_forwarder_spark.queries import registry
     from logstash_forwarder_spark.session import get_spark
 
@@ -142,6 +159,8 @@ def main() -> None:
     print(f"Regime: {sf_dir}, autoBroadcastJoinThreshold=-1, "
           "shuffle.partitions=200, local[8]\n")
     for name, claim in CLAIMS.items():
+        if only and name not in only:
+            continue
         fn, _ = reg[name]
         s = summarize(name, fn(spark, sf_dir))
         print(f"### {name}\n")
