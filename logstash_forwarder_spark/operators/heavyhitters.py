@@ -15,7 +15,10 @@ sketches). The classic 2-pass algorithm avoids it:
   threshold n_p/k in at least one partition (averaging argument), so the
   UNION of partition sketches contains every global heavy hitter. Output
   is ≤ k+1 rows per partition — bounded by design, like the k-means
-  pools the repo already collects.
+  pools the repo already collects. The union is then MERGED IN SPARK
+  (one hash-agg over sketch rows) and pruned by the provable count
+  upper bound ``c(g) ≤ Σ est + n/k`` before the driver collect, so the
+  driver holds only certifiable candidates, not O(k × partitions) rows.
 * **Pass 2 (exact recount)** — a second scan counts ONLY the candidate
   set (np.isin against the broadcast candidates inside the kernel);
   per-partition partials hash-agg to exact global counts. The only
@@ -140,13 +143,34 @@ def heavy_hitters(
         )
         yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
-    sketch_rows = src.mapInArrow(pass1, SKETCH_SCHEMA).collect()  # bounded:
-    # ≤ capacity+1 rows per partition (the candidate summary, not data)
-    n_total = sum(r.n_part for r in sketch_rows)
-    cand = {}
-    for r in sketch_rows:
-        if r.gram is not None:
-            cand[r.h] = r.gram
+    sketch_df = src.mapInArrow(pass1, SKETCH_SCHEMA).localCheckpoint()
+    # ≤ capacity+1 rows per partition (the candidate summary, not data).
+    # Merge sketches IN SPARK and prune by the provable upper bound before
+    # anything reaches the driver: for any item g,
+    #   c(g) ≤ Σ_p est_p(g) + n/capacity
+    # (each partition's MG underestimates by ≤ n_p/capacity, present or
+    # absent), while a true heavy hitter has Σ est ≥ c − n/capacity >
+    # n/T − n/capacity. Keeping est·T·capacity > n·(capacity − T) is
+    # therefore still a SUPERSET of the hitters, but the driver collect
+    # shrinks from O(capacity × partitions) rows to the certifiable
+    # candidates only — the shape that survives 10k-partition scans.
+    n_total = (
+        sketch_df.agg(F.sum("n_part").alias("n")).collect()[0].n or 0
+    )
+    cand_rows = (
+        sketch_df.filter(F.col("gram").isNotNull())
+        .groupBy("h")
+        .agg(F.sum("est").alias("est"), F.first("gram").alias("gram"))
+        .filter(
+            F.col("est") * inv_threshold * capacity
+            > F.lit(n_total) * (capacity - inv_threshold)
+        )
+        .collect()
+    )
+    from .graph import _release_checkpoint
+
+    _release_checkpoint(sketch_df)  # both consumers done; free the blocks
+    cand = {r.h: r.gram for r in cand_rows}
     cand_hashes = np.array(sorted(cand.keys()), dtype=np.int64)
 
     def pass2(batches):
