@@ -2770,6 +2770,75 @@ FROM events
 """
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus splits (doc_id
+    parity — a deterministic stand-in for yesterday-vs-today or
+    sourceA-vs-sourceB): per-split word counts through ONE map-side-
+    combinable (split, word) hash-agg, pivoted to a word row, scored by
+    |ppm_a − ppm_b| (per-split parts-per-million, floored in DOUBLE —
+    the identical-IEEE-then-floor house pattern; pure-BIGINT cross
+    products c_a·n_b overflow past ~9.2e18). Top-50 by drift with
+    deterministic word tie-break. The drift report a training-data
+    pipeline runs before mixing a new crawl into the corpus."""
+    from .operators.dedup import _norm
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    cnt = words.groupBy("split", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    by_word = cnt.groupBy("word").agg(
+        F.sum(F.when(F.col("split") == 0, F.col("cnt")).otherwise(0)).alias(
+            "cnt_a"
+        ),
+        F.sum(F.when(F.col("split") == 1, F.col("cnt")).otherwise(0)).alias(
+            "cnt_b"
+        ),
+    )
+    totals = by_word.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    ppm_a = F.floor(
+        F.col("cnt_a").cast("double")
+        / F.col("n_a").cast("double")
+        * F.lit(1000000.0)
+    )
+    ppm_b = F.floor(
+        F.col("cnt_b").cast("double")
+        / F.col("n_b").cast("double")
+        * F.lit(1000000.0)
+    )
+    scored = by_word.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        F.abs(ppm_a - ppm_b).cast("long").alias("drift_ppm"),
+    )
+    return scored.orderBy(F.desc("drift_ppm"), F.asc("word")).limit(50)
+
+
+SQL_VOCAB_DRIFT = r"""
+WITH w AS (
+  SELECT doc_id % 2 AS split,
+         unnest(regexp_split_to_array(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+  FROM documents),
+c AS (
+  SELECT word,
+         sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS cnt_b
+  FROM w WHERE word <> '' GROUP BY word),
+t AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM c)
+SELECT word, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(abs(floor(cnt_a / n_a * 1000000.0)
+              - floor(cnt_b / n_b * 1000000.0)) AS BIGINT) AS drift_ppm
+FROM c, t
+ORDER BY drift_ppm DESC, word ASC
+LIMIT 50
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -3293,6 +3362,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "translate_lookup": (q_translate_lookup, SQL_TRANSLATE_LOOKUP),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3333,8 +3403,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
-    "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     # ---- driver window ends here (first 50) ----
+    "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
     # due back in the round-6 window; still checked every session by
     # check_oracle) --

@@ -73,12 +73,8 @@ def test_plan_is_jvm_only(spark):
 # dissect reference (value = up-to-first-delimiter, advance past it;
 # absent delimiter swallows the rest and empties downstream fields) ----
 def _dissect_py(lead, fields, line):
-    if not line.startswith(lead):
-        line = line[len(lead):] if len(line) >= len(lead) else ""
-    else:
-        line = line[len(lead):]
     out = {}
-    rest = line
+    rest = line[len(lead):]
     for name, cast, delim in fields:
         if delim:
             val = rest.split(delim, 1)[0]
