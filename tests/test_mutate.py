@@ -83,6 +83,85 @@ def test_empty_string_roundtrip(spark):
     assert _one(out)["v"] == ""
 
 
+# ---- randomized property sweep: random op chains applied by Spark vs a
+# pure-Python interpreter of the same mutate semantics ----
+def _apply_py(rows, ops):
+    out = [dict(r) for r in rows]
+    for op in ops:
+        kind, args = op[0], op[1:]
+        for r in out:
+            if kind == "gsub":
+                f, pat, rep = args
+                import re as _re
+
+                r[f] = _re.sub(pat, rep, r[f])
+            elif kind == "lowercase":
+                r[args[0]] = r[args[0]].lower()
+            elif kind == "uppercase":
+                r[args[0]] = r[args[0]].upper()
+            elif kind == "capitalize":
+                v = r[args[0]]
+                r[args[0]] = (v[:1].upper() + v[1:].lower()) if v else v
+            elif kind == "strip":
+                r[args[0]] = r[args[0]].strip(" ")
+            elif kind == "copy":
+                r[args[1]] = r[args[0]]
+            elif kind == "rename":
+                r[args[1]] = r.pop(args[0])
+            elif kind == "replace":
+                f, tmpl = args
+                import re as _re
+
+                r[f] = _re.sub(
+                    r"%\{([A-Za-z0-9_@.]+)\}",
+                    lambda m: str(r[m.group(1)]),
+                    tmpl,
+                )
+    return out
+
+
+def test_random_chains_vs_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.SeedSequence(5_2026))
+    chars = np.array(list("aB cD!x_0"))
+    base_fields = ["f0", "f1"]
+    op_pool = [
+        ("gsub", None, " +", "-"),
+        ("gsub", None, "[0-9]", "#"),
+        ("lowercase", None),
+        ("uppercase", None),
+        ("capitalize", None),
+        ("strip", None),
+    ]
+    for trial in range(20):
+        rows = [
+            {
+                f: "".join(rng.choice(chars, rng.integers(0, 10)))
+                for f in base_fields
+            }
+            for _ in range(15)
+        ]
+        ops = []
+        fields = list(base_fields)
+        for _ in range(int(rng.integers(2, 7))):
+            t = op_pool[rng.integers(0, len(op_pool))]
+            f = fields[rng.integers(0, len(fields))]
+            ops.append((t[0], f, *t[2:]) if t[1] is None else t)
+        # finish with structural ops so they're always exercised
+        ops.append(("copy", fields[0], "cp"))
+        ops.append(("replace", "msg", "%{" + fields[0] + "}|%{" + fields[1] + "}"))
+        ops.append(("rename", "cp", "cp2"))
+
+        df = spark.createDataFrame(
+            [tuple(r[f] for f in base_fields) for r in rows],
+            ", ".join(f"{f} string" for f in base_fields),
+        )
+        got = [r.asDict() for r in mutate(df, ops).collect()]
+        want = _apply_py(rows, ops)
+        assert got == want, (trial, ops)
+
+
 def test_plan_is_jvm_only(spark):
     df = spark.createDataFrame([("a b", "s")], "text string, source string")
     out = mutate(
