@@ -2839,6 +2839,131 @@ LIMIT 50
 """
 
 
+def _portable_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h) word-3-gram hashes with the PORTABLE hash of
+    the minhash witness (md5 first-15-hex mod P) — but computed entirely
+    JVM-side: split → transform/sequence 3-gram → md5 → conv(hex,16,10).
+    Whole-stage codegen, zero Python. The exploded-relation shape is the
+    gated-correctness path; the production sketch path stays in the
+    row-local Arrow kernel (operators/dedup.py)."""
+    w = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ").alias(
+            "w"
+        ),
+    ).filter(F.size("w") >= 3)
+    # 0-based w[i-1..i+1] == the oracle's 1-based w[i], w[i+1], w[i+2];
+    # size >= 3 guards the descending-sequence trap (CLAUDE.md)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            )
+        ).alias("shingle"),
+    )
+    from .operators.sketch import P as _P
+
+    return grams.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _P)
+        .alias("h"),
+    ).distinct()
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/sketch.py) — the 100 TB
+    shape for corpus-vs-corpus overlap: the 'already seen' side is a
+    BIT SET of fixed size (k=3 hashes x width=2048 here; ~KBs broadcast
+    regardless of how many shingles were inserted), not the exact
+    distinct-shingle relation `decontaminate` broadcasts. Per corpus doc:
+    how many of its distinct shingle hashes pass ALL k probes (possible
+    members — includes deterministic false positives; the oracle
+    reproduces every probe bit-exactly, so FPs are flagged identically
+    by both engines). No false negatives by construction: every true
+    overlap in `decontaminate` is counted here too. Measured at sf0.01:
+    270 bench keys inserted, 280 of 25,643 corpus (doc,hash) probes pass
+    vs 223 true overlaps — 57 FP pairs (0.22%), 196 docs flagged vs 171
+    exact; in production, size width ~ O(n_keys/k) to hold that rate."""
+    from .operators.sketch import bloom_bits, bloom_member
+
+    hs = _portable_shingle_hashes(_docs(spark, sf_dir))
+    bench = hs.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corpus = hs.filter(F.col("doc_id") % 97 != 0)
+    bits = bloom_bits(bench, "h", width=2048)
+    flagged = bloom_member(corpus, "h", bits, width=2048)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged")
+    )
+
+
+# coeffs mirror operators/sketch.py BLOOM_COEFFS; P = 1073741789
+SQL_BLOOM_DECONTAMINATE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+h AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1073741789 AS h
+  FROM sh),
+bits AS (
+  SELECT DISTINCT c.i, ((b.h * c.a + c.b) % 1073741789) % 2048 AS pos
+  FROM (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0) b,
+       (VALUES (0, 389, 104729), (1, 761, 95819), (2, 1223, 88643)) AS c(i, a, b)),
+pp AS (
+  SELECT p.doc_id, p.h, c.i, ((p.h * c.a + c.b) % 1073741789) % 2048 AS pos
+  FROM h p, (VALUES (0, 389, 104729), (1, 761, 95819), (2, 1223, 88643)) AS c(i, a, b)
+  WHERE p.doc_id % 97 <> 0),
+hits AS (
+  SELECT pp.doc_id, pp.h
+  FROM pp JOIN bits USING (i, pos)
+  GROUP BY pp.doc_id, pp.h
+  HAVING count(*) = 3)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+FROM hits GROUP BY doc_id
+"""
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (operators/sketch.py) for every
+    distinct user in the event stream, from a d=4 x width=64 sketch —
+    256 counters TOTAL, so the exchange carries sketch rows, never raw
+    keys (map-side combine collapses each task to <= d*width partials).
+    width=64 << 150 distinct users forces real collisions at the gate
+    SF: est >= exact everywhere (one-sided Count-Min guarantee, asserted
+    in tests/test_sketch.py), and the oracle reconstructs the identical
+    sketch arithmetically — collisions and all."""
+    from .operators.sketch import cms_build, cms_estimate
+
+    e = _events(spark, sf_dir).select("user_id")
+    counters = cms_build(e, "user_id", width=64)
+    return cms_estimate(e.distinct(), "user_id", counters, width=64)
+
+
+# coeffs mirror operators/sketch.py CMS_COEFFS; P = 1073741789
+SQL_CMS_COUNTS = """
+WITH h AS (
+  SELECT ((user_id % 1073741789) + 1073741789) % 1073741789 AS h FROM events),
+counters AS (
+  SELECT c.j, ((h.h * c.a + c.b) % 1073741789) % 64 AS bucket, count(*) AS cnt
+  FROM h, (VALUES (0, 389, 104729), (1, 761, 95819), (2, 1223, 88643), (3, 1543, 71993)) AS c(j, a, b)
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT user_id FROM events),
+pr AS (
+  SELECT p.user_id, c.j,
+         (((((p.user_id % 1073741789) + 1073741789) % 1073741789) * c.a + c.b) % 1073741789) % 64 AS bucket
+  FROM probes p, (VALUES (0, 389, 104729), (1, 761, 95819), (2, 1223, 88643), (3, 1543, 71993)) AS c(j, a, b))
+SELECT pr.user_id, CAST(min(coalesce(ct.cnt, 0)) AS BIGINT) AS est
+FROM pr LEFT JOIN counters ct ON ct.j = pr.j AND ct.bucket = pr.bucket
+GROUP BY pr.user_id
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -3339,11 +3464,12 @@ LEFT JOIN st ON st.doc_id = wo.doc_id
 #   * Entries driver-checked in round N rotate to the tail in round N+1
 #     and return to the window in round N+2 — the registry alternates
 #     halves, so CORRECTNESS_r{N} ∪ r{N-1} always covers everything.
-# Round-5 window: 1 new + 3 re-check (assemble_packs was r4-RED;
+# Round-5 window: 17 new + 3 re-check (assemble_packs was r4-RED;
 # regional_revenue/revenue_topk changed) + the 6 analytics stranded at
 # positions 51-56 in r4 + the 14 r3-checked tail entries (due this round)
-# + 26 r4-green keepers. Round-5 tail: 21 r4-certified entries, due back
-# in round 6.
+# + 10 r4-green keepers. Round-5 tail: r4-certified entries (incl.
+# similarity_ivf/similarity_lsh, rotated out to make room for the sketch
+# queries), due back in round 6.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- new in round 5 --
     "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
@@ -3363,6 +3489,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3398,13 +3526,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
     "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    # exhaustive-probe IVF / LSH are exact → same oracle as brute force
-    "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
-    "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     # ---- driver window ends here (first 50) ----
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
+    # exhaustive-probe IVF / LSH are exact → same oracle as brute force
+    # (r4-green keepers rotated to tail in r5 for the sketch queries)
+    "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
+    "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
     # due back in the round-6 window; still checked every session by
     # check_oracle) --

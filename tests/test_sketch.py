@@ -1,0 +1,132 @@
+"""Bloom / Count-Min sketch properties (operators/sketch.py): the
+guarantees the 100 TB design leans on, proven on deterministic inputs —
+no false negatives, one-sided count error, bounded sketch cardinality,
+and bit-exact agreement with an independent numpy model of the hash
+algebra (the same algebra the DuckDB oracles replay)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.operators.sketch import (
+    BLOOM_COEFFS,
+    CMS_COEFFS,
+    P,
+    bloom_bits,
+    bloom_member,
+    cms_build,
+    cms_estimate,
+)
+
+
+def _np_positions(keys: np.ndarray, coeffs, width: int) -> np.ndarray:
+    """(len(keys), k) probe positions — independent model of _positions."""
+    h = np.mod(keys.astype(np.int64), P)
+    return np.stack([((h * a + b) % P) % width for a, b in coeffs], axis=1)
+
+
+def _keys_df(spark, values):
+    return spark.createDataFrame([(int(v),) for v in values], "h long")
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key passes all k probes — the Bloom contract."""
+    ins = np.arange(0, 4000, 7, dtype=np.int64) * 1_000_003  # 572 keys
+    bits = bloom_bits(_keys_df(spark, ins), "h", width=1024)
+    got = bloom_member(_keys_df(spark, ins), "h", bits, width=1024)
+    assert got.count() == len(ins)
+
+
+def test_bloom_bits_bounded_and_fp_match_model(spark):
+    """bits ≤ k·width rows regardless of insert count; the survivor set
+    for DISJOINT probe keys (pure false positives) equals the numpy
+    model's prediction exactly — determinism, not luck."""
+    width = 256
+    # 150 keys into width 256: ~44% fill per row → FP ≈ 9%, partial pass
+    ins = np.arange(1, 450, 3, dtype=np.int64) * 7919
+    probes = np.arange(1_000_000, 1_002_000, dtype=np.int64)  # disjoint
+    bits_df = bloom_bits(_keys_df(spark, ins), "h", width=width)
+    nbits = bits_df.count()
+    assert nbits <= len(BLOOM_COEFFS) * width
+
+    got = sorted(
+        r.h
+        for r in bloom_member(
+            _keys_df(spark, probes), "h", bits_df, width=width
+        ).collect()
+    )
+    # numpy model: a probe passes iff each of its k positions was set
+    set_pos = _np_positions(ins, BLOOM_COEFFS, width)
+    sets = [np.unique(set_pos[:, i]) for i in range(len(BLOOM_COEFFS))]
+    pp = _np_positions(probes, BLOOM_COEFFS, width)
+    ok = np.ones(len(probes), dtype=bool)
+    for i, s in enumerate(sets):
+        ok &= np.isin(pp[:, i], s)
+    want = sorted(probes[ok].tolist())
+    assert got == want
+    assert 0 < len(want) < len(probes)  # saturated enough to see FPs
+
+
+def test_cms_one_sided_and_model_exact(spark):
+    """est ≥ exact for every key (Count-Min guarantee) and est equals the
+    numpy sketch replay bit-exactly; counters stay ≤ d·width rows."""
+    width = 32  # narrow on purpose: forces collisions
+    rng = np.random.default_rng(20240817)
+    keys = rng.integers(0, 500, size=20_000).astype(np.int64) * 97 + 5
+    df = _keys_df(spark, keys)
+    counters = cms_build(df, "h", width=width)
+    assert counters.count() <= len(CMS_COEFFS) * width
+
+    probes = np.unique(keys)
+    est = {
+        r.h: r.est
+        for r in cms_estimate(
+            _keys_df(spark, probes), "h", counters, width=width
+        ).collect()
+    }
+    assert set(est) == set(probes.tolist())
+
+    # numpy replay of the sketch
+    pos = _np_positions(keys, CMS_COEFFS, width)
+    table = np.zeros((len(CMS_COEFFS), width), dtype=np.int64)
+    for j in range(len(CMS_COEFFS)):
+        np.add.at(table[j], pos[:, j], 1)
+    ppos = _np_positions(probes, CMS_COEFFS, width)
+    model = np.min(
+        np.stack([table[j][ppos[:, j]] for j in range(len(CMS_COEFFS))], axis=1),
+        axis=1,
+    )
+    exact = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+    for k, m in zip(probes.tolist(), model.tolist()):
+        assert est[k] == m
+        assert est[k] >= exact[k]
+    # narrow width must actually have produced over-estimates somewhere
+    assert any(est[k] > exact[k] for k in probes.tolist())
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct keys and no collisions, est == exact."""
+    keys = np.repeat(np.arange(40, dtype=np.int64) * 1009, 3)
+    counters = cms_build(_keys_df(spark, keys), "h", width=8192)
+    probes = np.unique(keys)
+    rows = cms_estimate(
+        _keys_df(spark, probes), "h", counters, width=8192
+    ).collect()
+    pos = _np_positions(probes, CMS_COEFFS, 8192)
+    collision_free = all(
+        len(np.unique(pos[:, j])) == len(probes) for j in range(len(CMS_COEFFS))
+    )
+    assert collision_free  # deterministic given the fixed keys
+    assert {r.h: r.est for r in rows} == {int(k): 3 for k in probes}
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The probe join ships the BIT SET, not the data: executed plan
+    carries a broadcast exchange feeding the (i, pos) join."""
+    ins = np.arange(0, 512, dtype=np.int64)
+    bits = bloom_bits(_keys_df(spark, ins), "h", width=128)
+    out = bloom_member(_keys_df(spark, ins), "h", bits, width=128)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
