@@ -25,6 +25,20 @@ reaches for routinely:
   (attributes surface as ``_name`` fields, child elements by name);
   malformed lines yield all-NULL fields (PERMISSIVE), the logstash
   `_xmlparsefailure` analog — filter on a required field.
+* :func:`syslog_pri_extract` — RFC3164 ``<PRI>`` decode: facility =
+  pri DIV 8, severity = pri MOD 8, labels from the standard tables;
+  missing/garbled PRI defaults to 13 (logstash syslog_pri contract).
+* :func:`kv_extract` — the kv filter's parse direction (``k=v`` pairs →
+  typed columns) via anchored per-field regexps (last occurrence wins);
+  complements the serialize direction (queries.py q_kv_serialize /
+  publisher1.go:242-248).
+* :func:`split_field` — the split filter: one event per element of a
+  multi-value field (posexplode — row-local fan-out, no shuffle).
+* :func:`anonymize_fields` / :func:`checksum_field` — the anonymize
+  (sha256 per field) and checksum (md5 over a canonical field
+  concatenation) filters; hex output is engine-portable.
+
+All are built-in Column expressions: zero Python, zero shuffle.
 """
 
 from __future__ import annotations
@@ -140,3 +154,138 @@ def xml_extract(df: DataFrame, source: str, schema: str) -> DataFrame:
     for field in out.schema["_xml"].dataType.fieldNames():
         out = out.withColumn(field, F.col(f"_xml.`{field}`"))
     return out.drop("_xml")
+
+
+# RFC3164 tables (indexes 0..23 / 0..7). Facilities 16-23 are local0-7.
+SYSLOG_FACILITIES = [
+    "kernel", "user-level", "mail", "daemon", "security/authorization",
+    "syslogd", "line printer", "network news", "uucp", "clock",
+    "security/authorization", "ftp", "ntp", "log audit", "log alert",
+    "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7",
+]
+SYSLOG_SEVERITIES = [
+    "emergency", "alert", "critical", "error", "warning", "notice",
+    "informational", "debug",
+]
+
+
+def syslog_pri_extract(
+    df: DataFrame, source: str = "line", *, drop_pri: bool = False
+) -> DataFrame:
+    """Decode the RFC3164 ``<PRI>`` prefix of ``source`` (logstash
+    syslog_pri filter): ``syslog_pri`` (int), ``syslog_facility_code`` =
+    pri DIV 8, ``syslog_severity_code`` = pri MOD 8, plus the standard
+    label columns, and ``message`` = the line with the prefix removed.
+    A line with no (or out-of-range) ``<PRI>`` gets the filter's
+    documented default pri 13 (user-level notice) and keeps its full
+    text as ``message``. Pure expressions — row-local, codegen'd."""
+    raw = F.regexp_extract(F.col(source), r"^<(\d{1,3})>", 1)
+    valid = (raw != "") & (raw.cast("int") <= 191)
+    pri = F.when(valid, raw.cast("int")).otherwise(F.lit(13))
+    fac = F.floor(pri / 8).cast("int")
+    sev = (pri % 8).cast("int")
+    out = df.select(
+        *df.columns,
+        pri.alias("syslog_pri"),
+        fac.alias("syslog_facility_code"),
+        sev.alias("syslog_severity_code"),
+        F.try_element_at(
+            F.array(*[F.lit(s) for s in SYSLOG_FACILITIES]), fac + 1
+        ).alias("syslog_facility"),
+        F.try_element_at(
+            F.array(*[F.lit(s) for s in SYSLOG_SEVERITIES]), sev + 1
+        ).alias("syslog_severity"),
+        F.when(
+            valid, F.regexp_replace(F.col(source), r"^<\d{1,3}>", "")
+        )
+        .otherwise(F.col(source))
+        .alias("message"),
+    )
+    return out.drop(source) if drop_pri else out
+
+
+def kv_extract(
+    df: DataFrame,
+    source: str,
+    fields: dict[str, str],
+    *,
+    field_split: str = " ",
+    value_split: str = "=",
+    prefix: str = "",
+) -> DataFrame:
+    """Parse ``k=v`` pairs in ``source`` into typed columns (logstash kv
+    filter: `field_split`, `value_split`, `include_keys` via the
+    ``fields`` dict of name → cast type, `prefix`). Missing keys and
+    failed casts are NULL (try_cast); duplicate keys keep the LAST
+    occurrence. Implemented as one anchored greedy regexp per requested
+    field (``^(?:.*<fs>)?key<vs>([^<fs>]*)``) rather than str_to_map:
+    the greedy prefix gives last-wins without depending on the session's
+    mapKeyDedupPolicy (Spark 4 default EXCEPTION throws on duplicates),
+    and a near-miss key ("xa=1" when asked for "a") cannot match because
+    the key must follow start-of-line or a field separator. Row-local,
+    codegen'd."""
+    import re as _re
+
+    if not fields:
+        raise ValueError("kv_extract: fields must be non-empty")
+    fs, vs = _re.escape(field_split), _re.escape(value_split)
+    out = df
+    for name, typ in fields.items():
+        rx = f"^(?:.*{fs})?{_re.escape(name)}{vs}([^{fs}]*)"
+        col = F.when(
+            F.col(source).rlike(rx), F.regexp_extract(F.col(source), rx, 1)
+        )
+        if typ and typ != "string":
+            col = col.try_cast(typ)
+        out = out.withColumn(f"{prefix}{name}", col)
+    return out
+
+
+def split_field(
+    df: DataFrame,
+    source: str,
+    *,
+    sep: str = ",",
+    dest: str = "part",
+    idx: str = "part_idx",
+) -> DataFrame:
+    """The split filter: clone the event once per ``sep``-separated
+    element of ``source``, tagging each clone with the element and its
+    0-based position. posexplode is a row-local fan-out — the plan
+    carries a Generate node, no exchange; at 100 TB the fan-out happens
+    inside the scan task that read the row."""
+    import re as _re
+
+    parts = F.split(F.col(source), _re.escape(sep))
+    exploded = df.select(*df.columns, F.posexplode(parts).alias(idx, dest))
+    return exploded.drop(source)
+
+
+def anonymize_fields(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The anonymize filter (sha256 algorithm): replace each named field
+    with the lowercase-hex sha256 of its string form. Engine-portable
+    (any SQL engine's sha256 agrees on UTF-8 input)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
+    return out
+
+
+def checksum_field(
+    df: DataFrame, cols: list[str], *, dest: str = "checksum"
+) -> DataFrame:
+    """The checksum filter: md5 over the '|'-joined string forms of
+    ``cols`` — a stable content key for exact-duplicate detection across
+    re-ships. NULL fields render as '' via explicit coalesce (concat_ws
+    alone would silently drop the NULL *and its separator*, colliding
+    (NULL,'x') with ('x',NULL))."""
+    return df.withColumn(
+        dest,
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+            )
+        ),
+    )

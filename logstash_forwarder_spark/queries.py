@@ -2964,6 +2964,177 @@ GROUP BY pr.user_id
 """
 
 
+def q_syslog_pri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog_pri filter (operators/filters.py): render one RFC3164 line
+    per doc ARITHMETICALLY (pri = doc_id % 200 — values 192-199 exercise
+    the out-of-range path; doc_id % 13 = 0 renders with NO <PRI> at all,
+    the missing-prefix path), decode facility/severity codes + labels +
+    stripped message, default pri 13 (user-level notice) where invalid —
+    the logstash contract. The oracle recomputes every output from
+    doc_id arithmetic without parsing a single line. Zero shuffle."""
+    from .operators.filters import syslog_pri_extract
+
+    body = F.concat(F.lit("host prog: msg "), F.col("doc_id").cast("string"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when((F.col("doc_id") % 13) == 0, body)
+        .otherwise(
+            F.concat(
+                F.lit("<"),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(">"),
+                body,
+            )
+        )
+        .alias("line"),
+    )
+    out = syslog_pri_extract(d, "line")
+    return out.select(
+        "doc_id",
+        F.col("syslog_pri").cast("long").alias("syslog_pri"),
+        F.col("syslog_facility_code").cast("long").alias("syslog_facility_code"),
+        F.col("syslog_severity_code").cast("long").alias("syslog_severity_code"),
+        "syslog_facility",
+        "syslog_severity",
+        "message",
+    )
+
+
+def _sql_list_literal(items: list[str]) -> str:
+    inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+    return f"[{inner}]"
+
+
+def _sql_syslog_pri() -> str:
+    from .operators.filters import SYSLOG_FACILITIES, SYSLOG_SEVERITIES
+
+    fac = _sql_list_literal(SYSLOG_FACILITIES)
+    sev = _sql_list_literal(SYSLOG_SEVERITIES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 200 AS praw,
+         'host prog: msg ' || CAST(doc_id AS VARCHAR) AS body
+  FROM documents),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 OR praw > 191 THEN 13 ELSE praw END AS pri,
+         CASE WHEN doc_id % 13 = 0 THEN body
+              WHEN praw > 191 THEN '<' || CAST(praw AS VARCHAR) || '>' || body
+              ELSE body END AS message
+  FROM base)
+SELECT doc_id,
+       CAST(pri AS BIGINT) AS syslog_pri,
+       CAST(pri // 8 AS BIGINT) AS syslog_facility_code,
+       CAST(pri % 8 AS BIGINT) AS syslog_severity_code,
+       ({fac})[pri // 8 + 1] AS syslog_facility,
+       ({sev})[pri % 8 + 1] AS syslog_severity,
+       message
+FROM dec
+"""
+
+
+SQL_SYSLOG_PRI = _sql_syslog_pri()
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv filter, parse direction (operators/filters.py): render a k=v
+    line per event, parse it back into typed columns — the inverse
+    of kv_serialize (publisher1.go:242-248). `extra` appears only on
+    event_id % 7 = 0 lines (missing-key → NULL path); v_cents goes
+    through the identical-IEEE floor-cents pattern so the roundtrip is
+    integer-exact. One codegen'd Project, zero shuffle."""
+    from .operators.filters import kv_extract
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("u_id="),
+            F.col("user_id").cast("string"),
+            F.lit(" etype="),
+            F.col("event_type"),
+            F.lit(" v_cents="),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+            F.when((F.col("event_id") % 7) == 0, F.lit(" extra=1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("kv"),
+    )
+    out = kv_extract(
+        e, "kv", {"u_id": "long", "etype": "string", "v_cents": "long", "extra": "long"}
+    )
+    return out.select("event_id", "u_id", "etype", "v_cents", "extra")
+
+
+SQL_KV_PARSE = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS u_id,
+       event_type AS etype,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+       CASE WHEN event_id % 7 = 0 THEN CAST(1 AS BIGINT) ELSE NULL END AS extra
+FROM events
+"""
+
+
+def q_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split filter (operators/filters.py): one event per element of a
+    multi-value field — here each selected doc's normalized text splits
+    into one row per word with its 0-based position. posexplode is a
+    row-local Generate (fan-out inside the scan task, no exchange): the
+    100 TB plan is identical to the gate plan."""
+    from .operators.filters import split_field
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias(
+                "parts_src"
+            ),
+        )
+    )
+    s = split_field(d, "parts_src", sep=" ", dest="word", idx="part_idx")
+    return s.select(
+        "doc_id", F.col("part_idx").cast("long").alias("part_idx"), "word"
+    )
+
+
+SQL_SPLIT_EVENTS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS part_idx, w[i] AS word
+FROM words, UNNEST(generate_series(1, len(w))) AS t(i)
+"""
+
+
+def q_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anonymize + checksum filters (operators/filters.py): user_id is
+    replaced by its sha256 (PII-safe join key — the hash is stable, so
+    per-user analytics still group correctly), and each event carries an
+    md5 content checksum over (event_id, user_id, event_type) — the
+    exact-duplicate detection key across re-ships. The checksum hashes
+    the ORIGINAL user_id (computed before anonymize). Hex strings are
+    engine-portable; zero shuffle, zero Python."""
+    from .operators.filters import anonymize_fields, checksum_field
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    c = checksum_field(e, ["event_id", "user_id", "event_type"])
+    a = anonymize_fields(c, ["user_id"])
+    return a.select(
+        "event_id", F.col("user_id").alias("user_anon"), "checksum"
+    )
+
+
+SQL_ANONYMIZE_EVENTS = """
+SELECT event_id,
+       sha256(CAST(user_id AS VARCHAR)) AS user_anon,
+       md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+           || '|' || event_type) AS checksum
+FROM events
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix over the events stream — the telemetry
     question a log pipeline answers first ("do users come back?"):
@@ -3491,6 +3662,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
     "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "syslog_pri": (q_syslog_pri, SQL_SYSLOG_PRI),
+    "kv_parse": (q_kv_parse, SQL_KV_PARSE),
+    "split_events": (q_split_events, SQL_SPLIT_EVENTS),
+    "anonymize_events": (q_anonymize_events, SQL_ANONYMIZE_EVENTS),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3521,10 +3696,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
-    "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
@@ -3534,6 +3705,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (r4-green keepers rotated to tail in r5 for the sketch queries)
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
     "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
+    # r4-checked keepers rotated to tail in r5 for the filter queries
+    # (minhash_lsh/simhash are rows-only by design in any position)
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
+    "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
     # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
     # due back in the round-6 window; still checked every session by
     # check_oracle) --

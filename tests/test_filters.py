@@ -118,3 +118,120 @@ def test_plans_are_jvm_only(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# syslog_pri / kv / split / anonymize+checksum (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_syslog_pri_decode(spark):
+    from logstash_forwarder_spark.operators.filters import syslog_pri_extract
+
+    rows = [
+        ("<34>su: auth failure",),       # facility 4, severity 2
+        ("<165>local4 notice text",),    # facility 20, severity 5
+        ("<0>kernel emergency",),        # boundary low
+        ("<191>local7 debug",),          # boundary high
+        ("<192>out of range",),          # > 191 → default, keep full text
+        ("no pri at all",),              # missing → default 13
+        ("<13>user notice",),            # the default value itself, valid
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    got = {r.line: r for r in syslog_pri_extract(df, "line").collect()}
+    r = got["<34>su: auth failure"]
+    assert (r.syslog_pri, r.syslog_facility_code, r.syslog_severity_code) == (
+        34, 4, 2,
+    )
+    assert r.syslog_facility == "security/authorization"
+    assert r.syslog_severity == "critical"
+    assert r.message == "su: auth failure"
+    r = got["<165>local4 notice text"]
+    assert (r.syslog_facility, r.syslog_severity) == ("local4", "notice")
+    assert got["<0>kernel emergency"].syslog_facility == "kernel"
+    assert got["<0>kernel emergency"].syslog_severity == "emergency"
+    assert got["<191>local7 debug"].syslog_facility == "local7"
+    assert got["<191>local7 debug"].syslog_severity == "debug"
+    # out-of-range and missing both take the documented default 13 and
+    # keep the whole line as message
+    for line in ("<192>out of range", "no pri at all"):
+        r = got[line]
+        assert (r.syslog_pri, r.syslog_facility, r.syslog_severity) == (
+            13, "user-level", "notice",
+        )
+        assert r.message == line
+    assert got["<13>user notice"].message == "user notice"
+
+
+def test_kv_extract_types_missing_and_dup(spark):
+    from logstash_forwarder_spark.operators.filters import kv_extract
+
+    rows = [
+        ("a=1 b=x c=2.5",),
+        ("b=y",),                 # a, c missing → NULL
+        ("a=notanint b=z",),      # failed cast → NULL
+        ("a=1 a=2 b=dup",),       # duplicate key → last wins
+    ]
+    df = spark.createDataFrame(rows, "kv string")
+    out = kv_extract(
+        df, "kv", {"a": "long", "b": "string", "c": "double"}
+    ).collect()
+    by_kv = {r.kv: r for r in out}
+    assert (by_kv["a=1 b=x c=2.5"].a, by_kv["a=1 b=x c=2.5"].b) == (1, "x")
+    assert by_kv["a=1 b=x c=2.5"].c == 2.5
+    assert by_kv["b=y"].a is None and by_kv["b=y"].c is None
+    assert by_kv["a=notanint b=z"].a is None
+    assert by_kv["a=1 a=2 b=dup"].a == 2
+
+
+def test_split_field_positions_and_no_shuffle(spark):
+    from logstash_forwarder_spark.operators.filters import split_field
+
+    df = spark.createDataFrame(
+        [(1, "x,y,z"), (2, "solo"), (3, "")], "id long, csvlist string"
+    )
+    out = split_field(df, "csvlist", sep=",", dest="item", idx="i")
+    rows = sorted((r.id, r.i, r.item) for r in out.collect())
+    assert rows == [(1, 0, "x"), (1, 1, "y"), (1, 2, "z"), (2, 0, "solo"), (3, 0, "")]
+    # literal separator: a regex metachar sep must not be interpreted
+    df2 = spark.createDataFrame([(1, "a|b")], "id long, v string")
+    got = sorted(r.item for r in split_field(df2, "v", sep="|", dest="item").collect())
+    assert got == ["a", "b"]
+    # row-local fan-out: no exchange in the plan
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anonymize_and_checksum(spark):
+    import hashlib
+
+    from logstash_forwarder_spark.operators.filters import (
+        anonymize_fields,
+        checksum_field,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 42, "click"), (8, None, "view")],
+        "event_id long, user_id long, event_type string",
+    )
+    out = {
+        r.event_id: r
+        for r in anonymize_fields(
+            checksum_field(df, ["event_id", "user_id", "event_type"]),
+            ["user_id"],
+        ).collect()
+    }
+    assert out[7].user_id == hashlib.sha256(b"42").hexdigest()
+    assert out[7].checksum == hashlib.md5(b"7|42|click").hexdigest()
+    # NULL field: anonymize keeps NULL; concat_ws renders '' for checksum
+    assert out[8].user_id is None
+    assert out[8].checksum == hashlib.md5(b"8||view").hexdigest()
+
+
+def test_kv_extract_near_miss_key(spark):
+    from logstash_forwarder_spark.operators.filters import kv_extract
+
+    df = spark.createDataFrame([("xa=5 b=1",)], "kv string")
+    r = kv_extract(df, "kv", {"a": "long", "b": "long"}).collect()[0]
+    assert r.a is None and r.b == 1
