@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "similarity_pq",
     "grok_combined",
     "mutate_chain",
+    "bloom_decontaminate",
+    "cms_counts",
 ]
 
 

@@ -173,3 +173,77 @@ def cms_estimate(
         .agg(F.min("cnt").cast("long").alias("est"), F.count(F.lit(1)).alias("_d"))
     )
     return est.filter(F.col("_d") == k).drop("_d")
+
+
+def cms_merge(*counters: DataFrame) -> DataFrame:
+    """Merge independently-built Count-Min sketches (same coeffs/width)
+    by summing counters per (j, bucket) — the property that makes the
+    sketch distributable: shard-local sketches (or per-day sketches in
+    a rolling corpus) merge into exactly the sketch of the union, so
+    the exchange between shards carries ≤ d·width rows per shard, never
+    data. Proven in tests/test_sketch.py::test_cms_merge_is_union."""
+    from functools import reduce
+
+    if not counters:
+        raise ValueError("cms_merge: need at least one sketch")
+    allc = reduce(lambda a, b: a.unionByName(b), counters)
+    return allc.groupBy("j", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+HLL_COEFF = (2029, 64763)  # fresh pair — decorrelates HLL from Bloom/CMS
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m: int = 64,
+    coeff: tuple[int, int] = HLL_COEFF,
+) -> DataFrame:
+    """HyperLogLog register relation: (register, max_rank), ≤ m rows.
+
+    h' = affine-mix(key) mod P; register = h' % m; the remaining value
+    w = h' // m < 2^24 (for m = 64) contributes rank = 25 - len(bin(w))
+    (w = 0 → 25, the all-zero convention). ``max`` per register is
+    idempotent under duplicates, so NO distinct (and no distinct
+    shuffle) is needed anywhere — the whole plan is one m-row hash-agg
+    with map-side combine, the cheapest possible cardinality monitor at
+    100 TB. The rank arithmetic is string-portable: Spark ``bin`` and
+    DuckDB ``bin`` both render minimal binary, so the oracle rebuilds
+    every register exactly. Estimate from the rows with
+    :func:`hll_estimate` (driver-side fold over ≤ m rows).
+    """
+    if m & (m - 1):
+        raise ValueError("hll_registers: m must be a power of two")
+    a, b = coeff
+    maxbits = (P // m).bit_length()  # 24 for m=64
+    h2 = (F.pmod(F.col(key_col), F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
+    w = F.shiftright(h2, m.bit_length() - 1)  # h2 // m, pure integer
+    rank = F.when(w == 0, F.lit(maxbits + 1)).otherwise(
+        F.lit(maxbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            (h2 % m).cast("long").alias("register"), rank.alias("rank")
+        )
+        .groupBy("register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+    )
+
+
+def hll_estimate(rows: list, m: int = 64) -> float:
+    """Fold the ≤ m (register, max_rank) rows into the HLL cardinality
+    estimate (with the standard small-range linear-counting correction).
+    Driver-side on purpose: the input is bounded by m, never by data."""
+    import math
+
+    got = {int(r[0]): int(r[1]) for r in (tuple(r) for r in rows)}
+    ranks = [got.get(j, 0) for j in range(m)]
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / sum(2.0 ** -r for r in ranks)
+    zeros = ranks.count(0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est

@@ -130,3 +130,64 @@ def test_bloom_probe_is_broadcast(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_registers_model_and_duplicates(spark):
+    """Registers equal an independent numpy replay; duplicating the
+    input changes NOTHING (max is idempotent — the no-distinct-needed
+    property the query leans on)."""
+    from logstash_forwarder_spark.operators.sketch import (
+        HLL_COEFF,
+        hll_estimate,
+        hll_registers,
+    )
+
+    m = 64
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**55, size=30_000).astype(np.int64)
+    df = _keys_df(spark, keys)
+    got = sorted(
+        (r.register, r.max_rank) for r in hll_registers(df, "h", m=m).collect()
+    )
+
+    a, b = HLL_COEFF
+    h2 = ((np.mod(keys, P)) * a + b) % P
+    reg = h2 % m
+    w = h2 // m
+    maxbits = (P // m).bit_length()
+    rank = np.where(
+        w == 0, maxbits + 1, maxbits + 1 - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64) - 1
+    )
+    model = {}
+    for r_, k_ in zip(reg.tolist(), rank.tolist()):
+        model[r_] = max(model.get(r_, 0), int(k_))
+    assert got == sorted(model.items())
+
+    # duplicate the whole input: identical registers
+    dup = df.unionByName(df)
+    got_dup = sorted(
+        (r.register, r.max_rank)
+        for r in hll_registers(dup, "h", m=m).collect()
+    )
+    assert got_dup == got
+
+    # estimate lands inside the 64-register error envelope on 3 key sets
+    for n, seed in ((500, 1), (5_000, 2), (30_000, 3)):
+        ks = np.unique(
+            np.random.default_rng(seed).integers(0, 2**55, size=n).astype(np.int64)
+        )
+        rows = [
+            (r.register, r.max_rank)
+            for r in hll_registers(_keys_df(spark, ks), "h", m=m).collect()
+        ]
+        est = hll_estimate(rows, m)
+        assert abs(est - len(ks)) / len(ks) < 0.30
+
+
+def test_hll_rejects_non_power_of_two(spark):
+    from logstash_forwarder_spark.operators.sketch import hll_registers
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(_keys_df(spark, [1]), "h", m=48)
