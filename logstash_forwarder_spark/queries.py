@@ -3007,6 +3007,143 @@ FROM h2 GROUP BY 1
 """
 
 
+def q_field_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-hygiene filter chain (operators/fieldops.py — the last
+    logstash small-filter gaps in one gated pass): a URL-encoded message
+    rendered arithmetically from doc_id flows through de_dot (dotted
+    names → underscores), prune (blacklist drops the metadata column —
+    driver-side projection, i.e. COLUMN PRUNING at the scan), urldecode
+    (Spark's builtin percent/+ decoder; the oracle renders the decoded
+    form directly, so decode semantics are gated without DuckDB owning a
+    decoder), byte truncation (ASCII fixture — byte == char; multibyte
+    byte-exactness is pytest-proven against a Python reference),
+    extractnumbers (regexp_extract_all, array_join'd per the no-array
+    house rule), a DETERMINISTIC v3 UUID (md5-derived, NULL-safe concat
+    — the replayable form of the logstash uuid filter), and json_encode
+    (compact to_json — key order is declared order on both engines).
+    The whole chain is ONE codegen'd Project: zero shuffle, zero Python
+    (plan-asserted in tests/test_fieldops.py)."""
+    from .operators.fieldops import (
+        de_dot,
+        extract_numbers,
+        json_encode,
+        prune_fields,
+        truncate_bytes,
+        urldecode,
+        uuid3_field,
+    )
+
+    d = _docs(spark, sf_dir)
+    enc = F.concat(
+        F.lit("path%2F"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("%3Fq%3Ddoc+"),
+        F.col("doc_id").cast("string"),
+        F.lit("%26n%3D"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    raw = d.select(
+        "doc_id",
+        enc.alias("msg.enc"),  # dotted names exercise de_dot
+        F.col("source").alias("meta.source"),
+    )
+    pr = prune_fields(de_dot(raw), blacklist=[r"meta_.*"])
+    out = pr.select(
+        "doc_id",
+        urldecode("msg_enc").alias("decoded"),
+        truncate_bytes(urldecode("msg_enc"), 16).alias("trunc16"),
+        F.array_join(extract_numbers(urldecode("msg_enc")), ",").alias("nums"),
+        uuid3_field("doc_id", "msg_enc").alias("uid"),
+    )
+    return json_encode(out, ["doc_id", "decoded"], "js")
+
+
+SQL_FIELD_HYGIENE = r"""
+WITH r AS (
+  SELECT doc_id,
+         'path/' || (doc_id % 50) || '?q=doc ' || doc_id || '&n=' || (doc_id % 7)
+             AS decoded,
+         md5(doc_id || '|' || 'path%2F' || (doc_id % 50) || '%3Fq%3Ddoc+'
+             || doc_id || '%26n%3D' || (doc_id % 7)) AS h
+  FROM documents)
+SELECT doc_id, decoded,
+       substring(decoded, 1, 16) AS trunc16,
+       coalesce(array_to_string(
+           regexp_extract_all(decoded, '-?\d+(?:\.\d+)?'), ','), '') AS nums,
+       substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3)
+           || '-8' || substr(h,18,3) || '-' || substr(h,21,12) AS uid,
+       '{"doc_id":' || doc_id || ',"decoded":"' || decoded || '"}' AS js
+FROM r
+"""
+
+
+def q_cidr_tld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cidr + tld filters (operators/fieldops.py) over the harvested
+    access-log fixture: the client dotted-quad matches a CONFIGURATION-
+    sized CIDR list compiled to integer prefix compares (first match
+    wins, when/otherwise chain — no join node; data-sized block tables
+    are q_ip_range_lookup's range_bucket_join instead), and a hostname
+    rendered arithmetically from doc_id splits into
+    tld/registered-domain/subdomain across two-level registries
+    (co.uk/com.au), plain TLDs, and empty-subdomain shapes. The
+    fixture's ip embeds doc_id (10.x.y.z = base + doc_id mod 2^24), so
+    the oracle recomputes match and split arithmetically — render,
+    harvest, conversion, prefix math and label slicing all gated.
+    Row-local, zero shuffle, zero Python."""
+    from .operators.fieldops import cidr_match, tld_extract
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_access_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    doc_id = F.regexp_extract("line", r'"\w+ /d/(\d+) ', 1).cast("long")
+    client = F.substring_index("line", " ", 1)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in ("com", "org", "co.uk", "com.au", "io")]),
+        (doc_id % 5 + 1).cast("int"),
+    )
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit("api.eu."), F.lit("")),
+        (doc_id % 3 + 1).cast("int"),
+    )
+    host = F.concat(
+        sub, F.lit("h"), (doc_id % 97).cast("string"), F.lit("."), suffix
+    )
+    base = lines.select(
+        doc_id.alias("doc_id"), client.alias("client"), host.alias("host")
+    )
+    tcols = tld_extract("host")
+    return base.select(
+        "doc_id",
+        "client",
+        "host",
+        cidr_match("client", ["10.0.0.0/24", "10.0.0.0/16", "10.0.0.0/8"]).alias(
+            "net"
+        ),
+        *[c.alias(k) for k, c in tcols.items()],
+    )
+
+
+SQL_CIDR_TLD = """
+WITH r AS (
+  SELECT doc_id,
+         '10.' || ((doc_id // 65536) % 256) || '.' || ((doc_id // 256) % 256)
+              || '.' || (doc_id % 256) AS client,
+         ['com', 'org', 'co.uk', 'com.au', 'io'][(doc_id % 5)::INT + 1] AS suffix,
+         ['www.', 'api.eu.', ''][(doc_id % 3)::INT + 1] AS sub,
+         'h' || (doc_id % 97) AS label
+  FROM documents)
+SELECT doc_id, client,
+       sub || label || '.' || suffix AS host,
+       CASE WHEN doc_id % 16777216 < 256 THEN '10.0.0.0/24'
+            WHEN doc_id % 16777216 < 65536 THEN '10.0.0.0/16'
+            ELSE '10.0.0.0/8' END AS net,
+       suffix AS tld,
+       label || '.' || suffix AS domain,
+       trim(TRAILING '.' FROM sub) AS subdomain
+FROM r
+"""
+
+
 def q_syslog_pri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syslog_pri filter (operators/filters.py): render one RFC3164 line
     per doc ARITHMETICALLY (pri = doc_id % 200 — values 192-199 exercise
@@ -3710,6 +3847,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "split_events": (q_split_events, SQL_SPLIT_EVENTS),
     "anonymize_events": (q_anonymize_events, SQL_ANONYMIZE_EVENTS),
     "hll_shingles": (q_hll_shingles, SQL_HLL_SHINGLES),
+    "field_hygiene": (q_field_hygiene, SQL_FIELD_HYGIENE),
+    "cidr_tld": (q_cidr_tld, SQL_CIDR_TLD),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3740,9 +3879,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
+    # ---- driver window ends here (first 50) ----
+    # r4-green keepers rotated to tail for the r5 fieldops queries
+    # (due back in the r6 window per the rotation schedule):
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
-    # ---- driver window ends here (first 50) ----
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
     # exhaustive-probe IVF / LSH are exact → same oracle as brute force
     # (r4-green keepers rotated to tail in r5 for the sketch queries)
