@@ -3144,6 +3144,63 @@ FROM r
 """
 
 
+def q_meter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logstash metrics filter's meter surface (rate_1m/5m/15m per
+    named meter), in the batch-exact sliding form: per (event_type,
+    minute) counts with trailing 5- and 15-minute sums via RANGE frames
+    over the MINUTE AGGREGATE — wall-clock-correct across silent minutes
+    (a gap shrinks the trailing count; the ROWS-frame form would slide
+    over observed rows instead — that's rate_anomaly's deliberate
+    choice, this one is the meter contract). Rates reported as integer
+    milli-events/sec (``n*1000 floordiv window_sec`` — no float in
+    compared columns). Scale shape: one map-side-combinable hash-agg to
+    |types|×|minutes| rows, then windows over that aggregate only — the
+    raw stream is never windowed; same discipline as rate_anomaly,
+    whose streaming twin covers the live path."""
+    e = _events(spark, sf_dir)
+    minute = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    per_min = (
+        e.groupBy("event_type", minute.alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n_1m"))
+    )
+    w5 = W.partitionBy("event_type").orderBy("minute").rangeBetween(-4, 0)
+    w15 = W.partitionBy("event_type").orderBy("minute").rangeBetween(-14, 0)
+    n5 = F.sum("n_1m").over(w5)
+    n15 = F.sum("n_1m").over(w15)
+    return per_min.select(
+        "event_type",
+        "minute",
+        F.col("n_1m").cast("long").alias("n_1m"),
+        n5.cast("long").alias("n_5m"),
+        n15.cast("long").alias("n_15m"),
+        F.floor(n5 * 1000 / 300).cast("long").alias("rate_5m_meps"),
+        F.floor(n15 * 1000 / 900).cast("long").alias("rate_15m_meps"),
+    )
+
+
+SQL_METER_RATES = """
+WITH m AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 60) AS BIGINT) AS minute,
+         count(*) AS n_1m
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, minute, n_1m,
+         sum(n_1m) OVER (PARTITION BY event_type ORDER BY minute
+                         RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_5m,
+         sum(n_1m) OVER (PARTITION BY event_type ORDER BY minute
+                         RANGE BETWEEN 14 PRECEDING AND CURRENT ROW) AS n_15m
+  FROM m)
+SELECT event_type, minute,
+       CAST(n_1m AS BIGINT) AS n_1m,
+       CAST(n_5m AS BIGINT) AS n_5m,
+       CAST(n_15m AS BIGINT) AS n_15m,
+       CAST(n_5m * 1000 // 300 AS BIGINT) AS rate_5m_meps,
+       CAST(n_15m * 1000 // 900 AS BIGINT) AS rate_15m_meps
+FROM w
+"""
+
+
 def q_syslog_pri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syslog_pri filter (operators/filters.py): render one RFC3164 line
     per doc ARITHMETICALLY (pri = doc_id % 200 — values 192-199 exercise
@@ -3849,6 +3906,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hll_shingles": (q_hll_shingles, SQL_HLL_SHINGLES),
     "field_hygiene": (q_field_hygiene, SQL_FIELD_HYGIENE),
     "cidr_tld": (q_cidr_tld, SQL_CIDR_TLD),
+    "meter_rates": (q_meter_rates, SQL_METER_RATES),
     # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
     "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
@@ -3876,12 +3934,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     # -- r4-green keepers (window-resident this round, tail in r6) --
-    "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     # ---- driver window ends here (first 50) ----
-    # r4-green keepers rotated to tail for the r5 fieldops queries
+    # r4-green keepers rotated to tail for the r5 fieldops/meter queries
     # (due back in the r6 window per the rotation schedule):
+    "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),

@@ -79,3 +79,38 @@ def test_cms_merge_is_union(spark):
 
     exact = Counter(a) + Counter(b)
     assert all(est[k] >= exact[k] for k in est)
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """hll_registers is one idempotent-max hash-agg, so the identical
+    call runs on a streaming DataFrame (complete mode) and the final
+    registers equal the batch sketch — live distinct-cardinality
+    monitoring with <= m rows of state."""
+    from logstash_forwarder_spark.operators.sketch import hll_registers
+
+    in_dir = str(tmp_path / "hin")
+    rng = np.random.default_rng(21)
+    keys = rng.integers(0, 2**50, size=4000).astype(np.int64)
+    _write_keys(spark, in_dir, keys, n_files=4)
+
+    batch = sorted(
+        map(tuple, hll_registers(spark.read.parquet(in_dir), "h", m=64).collect())
+    )
+    stream = (
+        spark.readStream.schema("h long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        hll_registers(stream, "h", m=64)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT * FROM hll_stream").collect())
+    )
+    assert streamed == batch and len(streamed) > 0
