@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "mutate_chain",
     "bloom_decontaminate",
     "cms_counts",
+    "hll_shingles",
+    "meter_rates",
 ]
 
 
