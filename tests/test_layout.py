@@ -1,0 +1,53 @@
+"""Sorted-layout zone-map pruning (plans/layout.py): the same range
+predicate over the same rows scans ~all row groups on a shuffled layout
+and ~one on the sorted layout — measured on the scan's own
+numOutputRows metric, not inferred from plan text."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from logstash_forwarder_spark.plans.layout import scan_output_rows, write_sorted
+
+N = 400_000
+
+
+def test_sorted_layout_prunes_row_groups(spark, tmp_path):
+    base = spark.range(N).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    sorted_p = str(tmp_path / "sorted")
+    shuffled_p = str(tmp_path / "shuffled")
+    # coalesce(1): one file per layout so the contrast is row-group
+    # pruning alone, not file pruning; 256 KiB groups => ~25 groups
+    write_sorted(
+        base.coalesce(1), sorted_p, sort_cols=["k"], row_group_bytes=256 * 1024
+    )
+    base.orderBy(F.xxhash64("k")).coalesce(1).write.option(
+        "parquet.block.size", str(256 * 1024)
+    ).mode("overwrite").parquet(shuffled_p)
+
+    pred = "k >= 100000 and k < 101000"  # 0.25% of the domain
+
+    def measure(path):
+        df = spark.read.parquet(path).filter(pred)
+        assert len(df.collect()) == 1000  # same answer either way
+        return scan_output_rows(df)
+
+    scanned_sorted = measure(sorted_p)
+    scanned_shuffled = measure(shuffled_p)
+    assert scanned_shuffled == N          # nothing prunes: full scan
+    assert scanned_sorted < N // 10       # >=10x fewer rows materialized
+    assert scanned_sorted >= 1000
+
+
+def test_scan_output_rows_guards(spark):
+    df = spark.range(10).groupBy().count()
+    df.collect()
+    # no FileScan under a range->agg plan: helper must refuse, not lie
+    with pytest.raises(ValueError):
+        scan_output_rows(df)
+    with pytest.raises(ValueError):
+        write_sorted(spark.range(1), "/tmp/never", sort_cols=[])
