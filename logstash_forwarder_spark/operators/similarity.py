@@ -726,17 +726,24 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "neighbor_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Encode each vector as m one-byte codes (binary column) — the
     100 TB story: a float32 corpus shrinks ~32× (dim 64 → 8 bytes/row),
     so the ADC scan streams codes, not vectors. Row-local mapInArrow;
-    vectors are normalized before encoding (see pq_fit)."""
+    vectors are normalized before encoding (see pq_fit). ``keep``
+    columns pass through untouched (ivf_pq_topk keeps the cell id this
+    way — no id-sized join to re-attach it)."""
     import numpy as np
     import pyarrow as pa
 
     books = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
     m, n_codes, sub = books.shape
+    keep = keep or []
     id_type = df.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
 
     def op(batches):
         for b in batches:
@@ -758,12 +765,13 @@ def pq_encode(
             vals = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
             codes_arr = pa.BinaryArray.from_buffers(pa.binary(), n, [None, offs, vals])
             yield pa.RecordBatch.from_arrays(
-                [b.column(b.schema.get_field_index(id_col)), codes_arr],
-                names=[out_id, "codes"],
+                [b.column(b.schema.get_field_index(id_col)), codes_arr]
+                + [b.column(b.schema.get_field_index(c)) for c in keep],
+                names=[out_id, "codes"] + keep,
             )
 
-    return df.select(id_col, vec_col).mapInArrow(
-        op, schema=f"{out_id} {id_type}, codes binary"
+    return df.select(id_col, vec_col, *keep).mapInArrow(
+        op, schema=f"{out_id} {id_type}, codes binary{keep_schema}"
     )
 
 
@@ -877,6 +885,86 @@ def pq_topk(
     rerank = (
         c_vec.join(F.broadcast(survivors), "neighbor_id")
         .join(F.broadcast(q), "query_id")
+    )
+    scored = score_pairs_arrow(rerank, "q_vec", "c_vec")
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    k: int = 5,
+    refine: int = 32,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — both halves of the classic billion-scale ANN index
+    composed: the IVF coarse quantizer prunes the SEARCH (each query
+    ADC-scans only its ``n_probe`` nearest cells' candidates,
+    |C|·n_probe/n_cells rows instead of |C|), PQ compresses the
+    MEMORY (those candidates stream as m one-byte codes, ~32× smaller
+    than the vectors), and the bounded top-``refine`` survivors fetch
+    true vectors for an exact cosine re-rank. Every stage distributed:
+    centroids from kmeans_fit (sampled-partials Lloyd), assignment /
+    probe planning / ADC all Arrow kernels inside the scan, and the
+    only broadcasts are the centroid matrix, the query side, and the
+    id-only survivor list.
+
+    Honest scope note: codes quantize the NORMALIZED candidate itself
+    (shared codebooks), not the per-cell residual of the faiss IVFPQ
+    index — residual coding buys accuracy at the cost of per-cell
+    codebooks (n_cells × m × n_codes centroids broadcast); the recall
+    sweep (BENCH/RECALL.md) measures what the shared-codebook form
+    gives. With ``n_probe >= n_cells`` and ``refine >= |C|`` the search
+    is provably exhaustive-exact (registered query's oracle regime).
+    """
+    centroids = kmeans_fit(
+        candidates, vec_col=vec_col, id_col=id_col, n_cells=n_cells
+    )
+    codebooks = pq_fit(
+        candidates, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
+        seed=seed,
+    )
+    assigned = _assign_cells_arrow(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        centroids,
+        "cell",
+    )
+    enc = pq_encode(
+        assigned, codebooks, id_col="neighbor_id", vec_col="c_vec",
+        out_id="neighbor_id", keep=["cell"],
+    )
+    q = _probe_cells_arrow(queries, id_col, vec_col, centroids, n_probe)
+    pairs = enc.join(F.broadcast(q), "cell").drop("cell")
+    adc = _pq_adc_arrow(pairs, codebooks, refine)
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    survivors = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    rerank = c_vec.join(F.broadcast(survivors), "neighbor_id").join(
+        F.broadcast(qv), "query_id"
     )
     scored = score_pairs_arrow(rerank, "q_vec", "c_vec")
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -775,6 +775,32 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("query_id", "rank", "neighbor_id")
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (operators/similarity.py ivf_pq_topk) — the two ANN
+    scale levers composed: the IVF coarse quantizer prunes the SEARCH to
+    n_probe cells, PQ codes compress the scanned MEMORY ~32×, exact
+    cosine re-rank on the bounded survivors. Registered in the provably
+    exhaustive-exact regime (n_probe = n_cells, refine >= |candidates|)
+    so the full machinery — distributed k-means, cell assignment,
+    codebook fit/encode with cell passthrough, cell-join, ADC kernel,
+    re-rank — gates against the same brute-force DuckDB oracle as
+    IVF/LSH/PQ. The pruned regime's recall is measured in
+    tests/test_similarity.py and BENCH/RECALL.md."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=5,
+        n_cells=8,
+        n_probe=8,  # = n_cells → every cell probed
+        refine=1_000_000,  # >= |candidates| at any gate SF → exact
+        m=8,
+    )
+    return got.select("query_id", "rank", "neighbor_id")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dup pairs via banded hyperplane LSH + exact
     verify. τ=0.5 so the oracle comparison is non-vacuous on the testdata
@@ -3883,6 +3909,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
     # exhaustive-refine PQ is exact → same oracle as brute force
     "similarity_pq": (q_similarity_pq, SQL_SIMILARITY_TOPK),
+    "similarity_ivf_pq": (q_similarity_ivf_pq, SQL_SIMILARITY_TOPK),
     # dissect splits the same fixture grok_parse regex-parses → same oracle
     "dissect_parse": (q_dissect_parse, SQL_GROK_PARSE),
     "multiline_assemble": (q_multiline_assemble, SQL_MULTILINE),
@@ -3934,11 +3961,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     # -- r4-green keepers (window-resident this round, tail in r6) --
-    "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     # ---- driver window ends here (first 50) ----
-    # r4-green keepers rotated to tail for the r5 fieldops/meter queries
-    # (due back in the r6 window per the rotation schedule):
+    # r4-green keepers rotated to tail for the r5 fieldops/meter/ivf-pq
+    # queries (due back in the r6 window per the rotation schedule):
+    "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),

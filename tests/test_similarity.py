@@ -300,3 +300,57 @@ def test_pq_encode_compression_and_determinism(spark):
     # the planted near-dup of vec 0 encodes to the same or near-same codes
     same = sum(a == b for a, b in zip(by_id[0], by_id[999]))
     assert same >= 6  # at most 2 of 8 subspaces may disagree for cos≈0.99
+
+
+def test_ivf_pq_exhaustive_is_exact(spark):
+    """IVF-PQ with n_probe = n_cells and refine >= |C| equals brute force
+    exactly (every cell probed, every candidate re-ranked) — the regime
+    the registered similarity_ivf_pq query gates; plus partitioning
+    invariance for the composed kernels."""
+    from logstash_forwarder_spark.operators.similarity import ivf_pq_topk
+
+    df = _vecs(spark)
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    queries = [r for r in rows if r[0] < 3]
+    cands = [r for r in rows if r[0] >= 3]
+    qdf = spark.createDataFrame(queries, SCHEMA)
+    cdf = spark.createDataFrame(cands, SCHEMA)
+    want = _np_topk(cands, queries, 5)
+    got = ivf_pq_topk(
+        qdf, cdf, k=5, n_cells=8, n_probe=8, refine=len(cands), m=8
+    ).collect()
+    for qid in (0, 1, 2):
+        g = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)
+             if r.query_id == qid]
+        assert g == want[qid]
+    got2 = ivf_pq_topk(
+        qdf.repartition(7), cdf.repartition(5),
+        k=5, n_cells=8, n_probe=8, refine=len(cands), m=8,
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
+def test_ivf_pq_pruned_recall(spark):
+    """The doubly-approximate regime (n_probe < n_cells AND small
+    refine): the planted near-duplicate (cos≈0.99) survives BOTH prunes
+    — its cell is its query's nearest cell and its codes score at the
+    top of the ADC — and average recall stays above the random-baseline
+    floor."""
+    from logstash_forwarder_spark.operators.similarity import ivf_pq_topk
+
+    df = _vecs(spark)
+    rows = [(r.vec_id, r.embedding) for r in df.collect()]
+    queries = [r for r in rows if r[0] < 3]
+    cands = [r for r in rows if r[0] >= 3]
+    got = ivf_pq_topk(
+        spark.createDataFrame(queries, SCHEMA),
+        spark.createDataFrame(cands, SCHEMA),
+        k=5, n_cells=8, n_probe=4, refine=10, m=8,
+    ).collect()
+    want = _np_topk(cands, queries, 5)
+    recalls = []
+    for qid in (0, 1, 2):
+        g = {r.neighbor_id for r in got if r.query_id == qid}
+        recalls.append(len(g & set(want[qid])) / 5)
+    assert sum(recalls) / len(recalls) >= 0.3
+    assert any(r.query_id == 0 and r.neighbor_id == 999 for r in got)
