@@ -190,3 +190,91 @@ def test_hygiene_chain_is_shuffle_free(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fieldops_randomized_sweep(spark):
+    """Randomized batch sweep (one DataFrame per operator, one collect):
+    truncate_bytes vs Python UTF-8 byte slicing over random unicode,
+    cidr_match vs the ipaddress module over random IPs x a random block
+    list, tld_extract vs a pure-Python reference over random hosts."""
+    import random
+
+    rng = random.Random(20240817)
+
+    # --- truncate: random unicode (ascii/latin/cjk/emoji mix) x lengths
+    alphabet = "ab céü日本語\U0001f600ı"
+    strs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        for _ in range(150)
+    ]
+    lens = [rng.randrange(0, 16) for _ in strs]
+    # truncate_bytes takes a literal length: run once per distinct n
+    for n in sorted(set(lens)):
+        sub = [s for s, ln in zip(strs, lens) if ln == n]
+        got = [
+            r.t
+            for r in spark.createDataFrame([(s,) for s in sub], "s string")
+            .select(truncate_bytes("s", n).alias("t"))
+            .collect()
+        ]
+        want = [s.encode("utf-8")[:n].decode("utf-8", "replace") for s in sub]
+        assert got == want, n
+
+    # --- cidr: random ips vs random block list
+    cidrs = sorted(
+        {
+            f"{rng.randrange(256)}.{rng.randrange(256)}.0.0/{rng.choice([8, 12, 16, 20, 24, 32])}"
+            for _ in range(12)
+        }
+    )
+    ips = [
+        f"{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}"
+        for _ in range(200)
+    ]
+    got = {
+        r.ip: r.m
+        for r in spark.createDataFrame([(ip,) for ip in ips], "ip string")
+        .select("ip", cidr_match("ip", cidrs).alias("m"))
+        .collect()
+    }
+    # strict=False: cidr_match's prefix compare masks host bits, the
+    # same semantics ip_network(strict=False) applies
+    nets = [(c, ipaddress.ip_network(c, strict=False)) for c in cidrs]
+    for ip in ips:
+        want = next((c for c, n in nets if ipaddress.ip_address(ip) in n), None)
+        assert got[ip] == want, ip
+
+    # --- tld: random hosts vs a python reference over the same registry
+    from logstash_forwarder_spark.operators.fieldops import _TWO_LEVEL_SUFFIXES
+
+    def py_tld(host):
+        labels = host.split(".")
+        last2 = ".".join(labels[-2:])
+        if len(labels) >= 2 and last2 in _TWO_LEVEL_SUFFIXES:
+            tld, nd = last2, 3
+        else:
+            tld, nd = labels[-1], 2
+        domain = ".".join(labels[-nd:]) if len(labels) >= nd else host
+        sub = ".".join(labels[:-nd]) if len(labels) > nd else ""
+        return tld, domain, sub
+
+    suffixes = list(_TWO_LEVEL_SUFFIXES) + ["com", "org", "io", "net", "uk"]
+    hosts = list(
+        {
+            ".".join(
+                ["".join(rng.choice("abcz0") for _ in range(rng.randrange(1, 4)))
+                 for _ in range(rng.randrange(0, 3))]
+                + [rng.choice(suffixes)]
+            ).lstrip(".")
+            for _ in range(200)
+        }
+    )
+    cols = tld_extract("host")
+    got = {
+        r.host: (r.tld, r.domain, r.subdomain)
+        for r in spark.createDataFrame([(h,) for h in hosts], "host string")
+        .select("host", *[c.alias(k) for k, c in cols.items()])
+        .collect()
+    }
+    for h in hosts:
+        assert got[h] == py_tld(h), h
