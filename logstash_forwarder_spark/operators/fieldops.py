@@ -92,8 +92,11 @@ def de_dot(df: DataFrame, sep: str = "_") -> DataFrame:
 
 def urldecode(col: Column | str) -> Column:
     """Percent-decode (``+`` → space, the form-encoding contract Spark's
-    builtin implements — same as logstash urldecode on form data)."""
-    return F.url_decode(F.col(col) if isinstance(col, str) else col)
+    builtin implements — same as logstash urldecode on form data).
+    ``try_url_decode``: malformed escapes (a stray ``%`` in a raw log
+    line) yield NULL — the ``_urldecodefailure`` analog — instead of
+    killing the job the way ``url_decode``'s CANNOT_DECODE_URL would."""
+    return F.try_url_decode(F.col(col) if isinstance(col, str) else col)
 
 
 def truncate_bytes(col: Column | str, max_bytes: int) -> Column:
@@ -118,8 +121,17 @@ def extract_numbers(col: Column | str) -> Column:
 def json_encode(df: DataFrame, cols: list[str], dest: str) -> DataFrame:
     """Serialize ``cols`` into one compact JSON string column
     (logstash json_encode). Key order = declared order on both Spark
-    and DuckDB, so the rendered text is oracle-portable."""
-    return df.withColumn(dest, F.to_json(F.struct(*[F.col(c) for c in cols])))
+    and DuckDB, and NULL fields render as ``"k":null`` rather than
+    vanishing (to_json defaults to ignoreNullFields=true, which would
+    break oracle portability over nullable columns — and logstash
+    serializes null), so the rendered text is oracle-portable."""
+    return df.withColumn(
+        dest,
+        F.to_json(
+            F.struct(*[F.col(c) for c in cols]),
+            {"ignoreNullFields": "false"},
+        ),
+    )
 
 
 def uuid3_field(*cols: Column | str, sep: str = "|") -> Column:

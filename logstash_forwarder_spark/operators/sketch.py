@@ -175,18 +175,31 @@ def cms_estimate(
     return est.filter(F.col("_d") == k).drop("_d")
 
 
-def cms_merge(*counters: DataFrame) -> DataFrame:
+def cms_merge(*counters: DataFrame, width: int | None = None) -> DataFrame:
     """Merge independently-built Count-Min sketches (same coeffs/width)
     by summing counters per (j, bucket) — the property that makes the
     sketch distributable: shard-local sketches (or per-day sketches in
     a rolling corpus) merge into exactly the sketch of the union, so
     the exchange between shards carries ≤ d·width rows per shard, never
-    data. Proven in tests/test_sketch.py::test_cms_merge_is_union."""
+    data. Proven in tests/test_sketch.py::test_cms_merge_is_union.
+
+    The min-over-d estimate bound only holds when every input shares
+    the hash geometry — pass ``width`` to enforce it: a bucket id ≥
+    width (the signature of a sketch built wider) fails the plan at
+    runtime instead of silently producing under-estimates."""
     from functools import reduce
 
     if not counters:
         raise ValueError("cms_merge: need at least one sketch")
     allc = reduce(lambda a, b: a.unionByName(b), counters)
+    if width is not None:
+        allc = allc.filter(
+            F.assert_true(
+                F.col("bucket") < width,
+                f"cms_merge: bucket id >= width={width} — input sketches "
+                "were built with different geometries",
+            ).isNull()
+        )
     return allc.groupBy("j", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
@@ -219,6 +232,9 @@ def hll_registers(
         raise ValueError("hll_registers: m must be a power of two")
     a, b = coeff
     maxbits = (P // m).bit_length()  # 24 for m=64
+    # count(distinct) ignores NULLs; so must the sketch (a NULL key
+    # would otherwise emit a (NULL, NULL) register row)
+    df = df.filter(F.col(key_col).isNotNull())
     h2 = (F.pmod(F.col(key_col), F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
     w = F.shiftright(h2, m.bit_length() - 1)  # h2 // m, pure integer
     rank = F.when(w == 0, F.lit(maxbits + 1)).otherwise(

@@ -2301,14 +2301,11 @@ def q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = _materialize_access_logs(sf_dir)
     lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
     client = F.substring_index("line", " ", 1)
-    o = F.split(client, r"\.")
-    ip_num = (
-        o[0].cast("long") * 16777216
-        + o[1].cast("long") * 65536
-        + o[2].cast("long") * 256
-        + o[3].cast("long")
+    from .operators.fieldops import ipv4_to_long
+
+    logs = lines.select(
+        client.alias("client"), ipv4_to_long(client).alias("ip_num")
     )
-    logs = lines.select(client.alias("client"), ip_num.alias("ip_num"))
     base = 10 * 16777216  # fixture IPs are 10.x.y.z
     dim = spark.range(0, 4096).select(
         (F.lit(base) + F.col("id") * 1000).alias("ip_lo"),

@@ -278,3 +278,21 @@ def test_fieldops_randomized_sweep(spark):
     }
     for h in hosts:
         assert got[h] == py_tld(h), h
+
+
+def test_urldecode_malformed_yields_null(spark):
+    """A stray % in a raw log field must degrade to NULL (the
+    _urldecodefailure analog), never kill the job."""
+    df = spark.createDataFrame(
+        [("disk at 95% full",), ("trunc%E",), ("ok%20fine",)], "s string"
+    )
+    got = [r.d for r in df.select(urldecode("s").alias("d")).collect()]
+    assert got == [None, None, "ok fine"]
+
+
+def test_json_encode_renders_nulls(spark):
+    """NULL fields render as "k":null (logstash serializes null;
+    vanishing keys would break oracle portability over nullables)."""
+    df = spark.createDataFrame([(7, None)], "a long, b string")
+    row = json_encode(df, ["a", "b"], "js").collect()[0]
+    assert row.js == '{"a":7,"b":null}'

@@ -191,3 +191,18 @@ def test_hll_rejects_non_power_of_two(spark):
 
     with _pytest.raises(ValueError):
         hll_registers(_keys_df(spark, [1]), "h", m=48)
+
+
+def test_hll_ignores_null_keys(spark):
+    """count(distinct) ignores NULLs; so must the sketch — no
+    (NULL, NULL) register row, estimate unchanged by NULL rows."""
+    from logstash_forwarder_spark.operators.sketch import hll_registers
+
+    base = spark.createDataFrame([(int(k),) for k in range(500)], "h long")
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(None,)] * 7, "h long")
+    )
+    a = sorted(map(tuple, hll_registers(base, "h", m=64).collect()))
+    b = sorted(map(tuple, hll_registers(with_nulls, "h", m=64).collect()))
+    assert a == b
+    assert all(r is not None for row in b for r in row)

@@ -114,3 +114,22 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT * FROM hll_stream").collect())
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_cms_merge_width_guard(spark):
+    """Merging sketches of different widths with the width guard set
+    fails loudly (the min-over-d bound would silently break)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rng = np.random.default_rng(3)
+    keys = (rng.integers(0, 50, size=500).astype(np.int64) * 7 + 1).tolist()
+    df = spark.createDataFrame([(k,) for k in keys], "h long")
+    narrow = cms_build(df, "h", width=32)
+    wide = cms_build(df, "h", width=64)
+    with pytest.raises(Exception) as ei:
+        cms_merge(narrow, wide, width=32).collect()
+    assert "geometr" in str(ei.value) or "assert" in str(ei.value).lower()
+    # same-width merge under the guard stays clean
+    ok = cms_merge(narrow, cms_build(df, "h", width=32), width=32)
+    assert ok.count() > 0
