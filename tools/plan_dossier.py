@@ -103,6 +103,33 @@ CLAIMS = {
         "from_xml row-local projection (attribute/element fields out "
         "of the scan stage) — ZERO shuffle, zero Python"
     ),
+    # -- r5 late additions --
+    "hll_shingles": (
+        "shingle explode + md5 hash row-local in the scan; ONE m-row "
+        "(<=64 groups) hash-agg with map-side combine and NO distinct "
+        "anywhere — the exchange carries register partials, never data"
+    ),
+    "meter_rates": (
+        "ONE map-side-combinable (type, minute) hash-agg; RANGE-frame "
+        "windows run over the minute AGGREGATE only (one re-key of "
+        "|types|x|minutes| rows), never over raw events"
+    ),
+    "field_hygiene": (
+        "the whole filter chain (urldecode/truncate/numbers/uuid/json) "
+        "is ONE codegen'd Project over the scan — ZERO shuffle, zero "
+        "Python"
+    ),
+    "cidr_tld": (
+        "cidr prefix compares + tld label slicing compile into the "
+        "scan's Project — ZERO shuffle, zero Python, no join node for "
+        "the configuration-sized block list"
+    ),
+    "similarity_ivf_pq": (
+        "centroid/codebook fits touch bounded pools; assignment/encode/"
+        "ADC are scan-side kernels; the cell equi-join carries m-byte "
+        "codes (query side broadcast), survivors shuffle as id triples; "
+        "re-rank joins are broadcast-bounded by refine"
+    ),
 }
 
 
