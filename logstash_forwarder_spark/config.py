@@ -125,3 +125,67 @@ def finalize_config(merged: dict) -> EngineConfig:
 
 def load_engine_config(path: str) -> EngineConfig:
     return finalize_config(merge_configs([load_config(f) for f in discover_configs(path)]))
+
+
+# --------------------------------------------------------------------------
+# The reference's OWN config format (the literal switch-over path): a
+# logstash-forwarder.conf with {"network": {...}, "files": [{"paths",
+# "fields", "dead time"}, ...]} (config.go:23-43) parses through the same
+# discover/strip/expand/merge machinery and drives `run.py --conf` —
+# every files[] group harvests its globs and its static fields ride the
+# broadcast-enrich dim (harvester.go:84). network.servers / "ssl *" are
+# transport config (TLS out of scope per SURVEY §2; routing replaces the
+# random server pick, publisher1.go:168-186) — accepted and ignored so an
+# existing config runs unmodified.
+
+
+@dataclass
+class FileGroup:
+    paths: list[str]
+    fields: dict[str, str]
+    dead_time: str = DEFAULT_DEAD_TIME
+
+
+@dataclass
+class ForwarderConfig:
+    files: list[FileGroup]
+    timeout_sec: int = DEFAULT_TIMEOUT_SEC
+
+
+def parse_duration(s: str) -> float:
+    """Go-style duration ('24h', '5m', '10s', '1h30m') → seconds
+    (config.go parses FileConfig.DeadTime with time.ParseDuration)."""
+    import re
+
+    s = s.strip()
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ms|h|m|s)", s)  # ms before m
+    if not parts or "".join(n + u for n, u in parts) != s:
+        raise ConfigError(f"bad duration: {s!r}")
+    unit = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 0.001}
+    return sum(float(n) * unit[u] for n, u in parts)
+
+
+def parse_forwarder_config(merged: dict) -> ForwarderConfig:
+    files = merged.get("files", [])
+    if not isinstance(files, list) or not files:
+        raise ConfigError("forwarder config: 'files' must be a non-empty list")
+    groups: list[FileGroup] = []
+    for i, f in enumerate(files):
+        paths = f.get("paths")
+        if not isinstance(paths, list) or not paths:
+            raise ConfigError(f"files[{i}]: 'paths' must be a non-empty list")
+        fields = {str(k): str(v) for k, v in (f.get("fields") or {}).items()}
+        dead = str(f.get("dead time", DEFAULT_DEAD_TIME))
+        parse_duration(dead)  # validate now, not at poll time
+        groups.append(
+            FileGroup(paths=[str(p) for p in paths], fields=fields, dead_time=dead)
+        )
+    net = merged.get("network") or {}
+    timeout = int(net.get("timeout", DEFAULT_TIMEOUT_SEC))
+    return ForwarderConfig(files=groups, timeout_sec=timeout)
+
+
+def load_forwarder_config(path: str) -> ForwarderConfig:
+    return parse_forwarder_config(
+        merge_configs([load_config(f) for f in discover_configs(path)])
+    )

@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
         "(sources/textlog.py: line split, whitespace tokenizer)",
     )
     p.add_argument(
+        "--conf",
+        help="a logstash-forwarder config file or dir (the reference's own "
+        "format: network/files[].paths/fields/'dead time', config.go:23-43) "
+        "— harvest each files[] group's globs with its static fields riding "
+        "the broadcast-enrich dim; '-' paths read stdin; dead-time-idle "
+        "files are skipped at discovery",
+    )
+    p.add_argument(
         "--tail-glob",
         help="TAIL live .log files matching this glob: per poll, harvest "
         "only bytes grown since the persisted offsets (seek-read kernel, "
@@ -136,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.tail_glob:
         return _tail_loop(spark, args)
 
+    dim = None
     if args.gen:
         seqs = gen_sequences(spark, args.gen)
     elif args.input:
@@ -144,13 +153,20 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.textlog import harvest_text_files, lines_to_sequences
 
         seqs = lines_to_sequences(harvest_text_files(spark, args.text_glob))
+    elif args.conf:
+        seqs, dim = _harvest_from_conf(spark, args.conf)
+        if seqs is None:
+            print(json.dumps({"error": "no live files matched the config"}))
+            return 1
     else:
-        p.error("one of --input / --gen / --text-glob is required")
+        p.error("one of --input / --gen / --text-glob / --conf is required")
 
     spec_kwargs = {"out_dir": args.out, "commit_mode": args.commit_mode}
     if args.run_id:
         spec_kwargs["run_id"] = args.run_id
-    res = run_pipeline(spark, seqs, gen_source_dim(spark), PipelineSpec(**spec_kwargs))
+    if dim is None:
+        dim = gen_source_dim(spark)
+    res = run_pipeline(spark, seqs, dim, PipelineSpec(**spec_kwargs))
     print(
         json.dumps(
             {
@@ -163,6 +179,71 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
     return 0
+
+
+def _harvest_from_conf(spark, conf_path: str):
+    """The literal switch-over path: a logstash-forwarder.conf drives the
+    harvest. Every files[] group's globs are discovered driver-side
+    (registrar-sized work — a file LIST, never data), dead-time-idle
+    files are skipped at discovery (harvester.go dead-time contract),
+    '-' reads stdin into a spooled file (S4), and the group's static
+    fields become rows of the broadcast-enrich dim keyed by the file
+    stem — FileConfig.Fields (config.go:40) riding the same join every
+    other enrich uses. Conflicting fields for one stem across groups
+    raise (one dim row per source; the reference's per-harvester
+    attachment cannot express two field-sets for one source name
+    either once events merge downstream).
+
+    Returns (sequences, source_dim) or (None, None) when nothing
+    matched."""
+    import glob as globmod
+    import os
+    import re
+    import sys
+    import tempfile
+    import time as timemod
+
+    from .config import load_forwarder_config, parse_duration
+    from .schema import SOURCE_DIM_SCHEMA
+    from .sources.textlog import harvest_text_files, lines_to_sequences
+
+    cfg = load_forwarder_config(conf_path)
+    # must mirror lines_to_sequences' JVM stem regexp exactly
+    stem_re = re.compile(r"([^/]+?)(?:\.[^./]*)?(?:\.gz)?$")
+    now = timemod.time()
+    all_paths: list[str] = []
+    dim_fields: dict[str, dict[str, str]] = {}
+    for g in cfg.files:
+        cutoff = now - parse_duration(g.dead_time)
+        matched: list[str] = []
+        for pat in g.paths:
+            if pat == "-":
+                spool = tempfile.NamedTemporaryFile(
+                    prefix="lfs_stdin_", suffix=".log", delete=False
+                )
+                spool.write(sys.stdin.buffer.read())
+                spool.close()
+                matched.append(spool.name)
+                continue
+            for mfile in sorted(globmod.glob(pat)):
+                if os.path.getmtime(mfile) >= cutoff:
+                    matched.append(mfile)
+        for mfile in matched:
+            src = stem_re.search(mfile).group(1)
+            if src in dim_fields and dim_fields[src] != g.fields:
+                raise SystemExit(
+                    f"--conf: source {src!r} gets conflicting fields from "
+                    "two files[] groups"
+                )
+            dim_fields[src] = g.fields
+        all_paths.extend(matched)
+    if not all_paths:
+        return None, None
+    seqs = lines_to_sequences(harvest_text_files(spark, all_paths))
+    dim = spark.createDataFrame(
+        sorted(dim_fields.items()), SOURCE_DIM_SCHEMA
+    )
+    return seqs, dim
 
 
 def _tail_loop(spark, args) -> int:

@@ -262,9 +262,11 @@ def _harvest_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         yield _assemble_harvest_batch(paths, pending)
 
 
-def harvest_text_files(spark, path_glob: str) -> DataFrame:
+def harvest_text_files(spark, path_glob: str | list[str]) -> DataFrame:
     """Glob-discover text files and emit one row per line with byte-exact
-    offsets (S1 + S2). Column-pruned scan: only path + content are read."""
+    offsets (S1 + S2). Column-pruned scan: only path + content are read.
+    Accepts one glob or an explicit path list (run.py --conf passes the
+    dead-time-filtered discovery result)."""
     raw = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return raw.mapInArrow(_harvest_kernel, HARVEST_SCHEMA)
 

@@ -183,3 +183,100 @@ def test_cli_compact_checkpoint(spark, tmp_path, capsys):
     assert main(["--gen", "2000", "--out", out, "--run-id", "c1"]) == 0
     rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec2["rows_staged"] == 0 and rec2["sinks_committed"] == []
+
+
+def test_run_cli_forwarder_conf(spark, tmp_path, capsys):
+    """The literal switch-over path: a logstash-forwarder.conf (the
+    reference's own format — network block, files[].paths/fields,
+    comments, $VAR expansion, 'dead time') drives the harvest; each
+    group's static fields ride the enrich dim and steer the routes;
+    dead-time-idle files are skipped at discovery; exactly-once resume
+    holds through the CLI."""
+    import json as _json
+    import os
+    import time
+
+    logs = tmp_path / "clogs"
+    logs.mkdir()
+    (logs / "web.log").write_bytes(
+        b"GET /a one two three four five six seven eight nine ten\n" * 3
+    )
+    (logs / "sys.log").write_bytes(
+        b"kernel says many words " + b"w " * 20 + b"\n"
+    )
+    (logs / "old.log").write_bytes(b"stale content\n")
+    # make old.log idle past the group's dead time
+    past = time.time() - 3600
+    os.utime(logs / "old.log", (past, past))
+
+    os.environ["LFS_TEST_LOGDIR"] = str(logs)
+    conf = tmp_path / "forwarder.conf"
+    conf.write_text(
+        """
+{
+  # transport block is accepted and ignored (TLS out of scope)
+  "network": { "servers": ["host:5043"], "ssl ca": "/x.pem", "timeout": 15 },
+  "files": [
+    { "paths": ["$LFS_TEST_LOGDIR/web.log"],
+      "fields": { "type": "apache", "env": "prod" } },
+    { "paths": ["$LFS_TEST_LOGDIR/sys.log", "$LFS_TEST_LOGDIR/old.log"],
+      "fields": { "type": "syslog" },
+      "dead time": "5m" }
+  ]
+}
+"""
+    )
+    out = str(tmp_path / "outc")
+    rc = main(["--conf", str(conf), "--out", out, "--run-id", "c1"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # web.log: 3 lines; sys.log: 1 line; old.log: dead-time-skipped
+    assert summary["rows_staged"] == 4
+    # fields steered routing: apache lines -> sink_apache, the long
+    # syslog line (n_tok > 16) -> sink_syslog
+    assert "sink_apache" in summary["sinks_committed"]
+    assert "sink_syslog" in summary["sinks_committed"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT sink, count(*) FROM read_parquet('{out}/run_id=c1/sink=*/*.parquet', "
+        "hive_partitioning=true) GROUP BY sink ORDER BY sink"
+    ).fetchall()
+    assert dict(rows) == {"sink_apache": 3, "sink_syslog": 1}
+
+    # exactly-once resume through the CLI
+    rc = main(["--conf", str(conf), "--out", out, "--run-id", "c1"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 0
+
+
+def test_forwarder_conf_parsing_errors(tmp_path):
+    from logstash_forwarder_spark.config import (
+        ConfigError,
+        load_forwarder_config,
+        parse_duration,
+    )
+
+    import pytest
+
+    assert parse_duration("24h") == 86400.0
+    assert parse_duration("1h30m") == 5400.0
+    assert parse_duration("250ms") == 0.25
+    with pytest.raises(ConfigError):
+        parse_duration("soon")
+    with pytest.raises(ConfigError):
+        parse_duration("5 m")
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text('{"files": []}')
+    with pytest.raises(ConfigError):
+        load_forwarder_config(str(bad))
+    bad.write_text('{"files": [{"fields": {"a": "b"}}]}')
+    with pytest.raises(ConfigError):
+        load_forwarder_config(str(bad))
+    bad.write_text('{"files": [{"paths": ["/x"], "dead time": "often"}]}')
+    with pytest.raises(ConfigError):
+        load_forwarder_config(str(bad))
