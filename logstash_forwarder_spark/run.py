@@ -57,8 +57,15 @@ def main(argv: list[str] | None = None) -> int:
         "new complete lines — the reference daemon's harvest loop",
     )
     p.add_argument(
+        "--tail",
+        action="store_true",
+        help="with --conf: TAIL the config's files[] paths instead of a "
+        "one-shot harvest — the reference daemon's full shape (config-"
+        "driven discovery + live tailing + static fields)",
+    )
+    p.add_argument(
         "--polls", type=int, default=1,
-        help="number of tail polls to run (with --tail-glob)",
+        help="number of tail polls to run (with --tail-glob / --conf --tail)",
     )
     p.add_argument(
         "--poll-interval", type=float, default=0.0,
@@ -141,7 +148,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _get_session(args)
 
-    if args.tail_glob:
+    if args.tail and not args.conf:
+        p.error("--tail requires --conf (use --tail-glob for a bare glob)")
+    if args.tail_glob or (args.conf and args.tail):
         return _tail_loop(spark, args)
 
     dim = None
@@ -290,11 +299,57 @@ def _tail_loop(spark, args) -> int:
         poll_base = int(raw.pop("_polls", 0))
         state = {k: tuple(v) for k, v in raw.items()}
     base = args.run_id or uuid.uuid4().hex[:8]
-    dim = gen_source_dim(spark)
+    if args.tail_glob:
+        tail_globs: str | list[str] = args.tail_glob
+        dim = gen_source_dim(spark)
+        dim_per_poll = None
+    else:
+        # --conf --tail: the reference daemon's full shape. Globs come
+        # from files[].paths; each group's static fields ride the enrich
+        # dim, REBUILT per poll so files appearing later still map (the
+        # prospector discovers continuously, prospector.go:24-78).
+        # Dead time is a no-op here by design: a poll reads only grown
+        # bytes, so an idle file costs one stat — the resource the
+        # reference's dead_time reclaims (an open fd) has no analog.
+        from .config import load_forwarder_config
+
+        fcfg = load_forwarder_config(args.conf)
+        tail_globs = [p for g in fcfg.files for p in g.paths if p != "-"]
+        if not tail_globs:
+            print(json.dumps({"error": "--conf --tail: no non-stdin paths"}))
+            return 1
+
+        def dim_per_poll():
+            import glob as globmod
+            import re
+
+            from .schema import SOURCE_DIM_SCHEMA
+
+            stem_re = re.compile(r"([^/]+?)(?:\.[^./]*)?(?:\.gz)?$")
+            fields: dict[str, dict[str, str]] = {}
+            for g in fcfg.files:
+                for pat in g.paths:
+                    if pat == "-":
+                        continue
+                    for m in globmod.glob(pat):
+                        src = stem_re.search(m).group(1)
+                        if src in fields and fields[src] != g.fields:
+                            raise SystemExit(
+                                f"--conf: source {src!r} gets conflicting "
+                                "fields from two files[] groups"
+                            )
+                        fields[src] = g.fields
+            return spark.createDataFrame(
+                sorted(fields.items()), SOURCE_DIM_SCHEMA
+            )
+
+        dim = dim_per_poll()
     polls = []
     for k in range(max(args.polls, 1)):
         poll_no = poll_base + k
-        harvested, new_state = poll_tail_once(spark, args.tail_glob, state)
+        if dim_per_poll is not None and k > 0:
+            dim = dim_per_poll()
+        harvested, new_state = poll_tail_once(spark, tail_globs, state)
         n_lines = harvested.count()
         rec = {"poll": poll_no, "new_lines": n_lines}
         if n_lines:

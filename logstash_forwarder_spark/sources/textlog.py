@@ -336,9 +336,9 @@ def _digest(data: bytes) -> str:
 
 
 def discover_tails(
-    path_glob: str, state: dict[str, tuple]
+    path_glob: str | list[str], state: dict[str, tuple]
 ) -> list[tuple[str, int, int, tuple[int, str]]]:
-    """One prospector tick (prospector.go:24-78): glob the pattern and
+    """One prospector tick (prospector.go:24-78): glob the pattern(s) and
     return (file, resume_offset, base_line, head_fp) for every file that
     needs harvesting. New files start at (0, 0). Driver-side by design:
     the file census is registrar-sized (one entry per file), exactly the
@@ -359,8 +359,9 @@ def discover_tails(
     import glob as _glob
     import os
 
+    pats = [path_glob] if isinstance(path_glob, str) else list(path_glob)
     out = []
-    for p in sorted(_glob.glob(path_glob)):
+    for p in sorted({m for pat in pats for m in _glob.glob(pat)}):
         v = state.get(p, (0, 0))
         off, base = int(v[0]), int(v[1])
         rec_fp = (int(v[2]), str(v[3])) if len(v) >= 4 else None
@@ -474,7 +475,7 @@ def release_poll_checkpoint(df: DataFrame) -> None:
 
 
 def poll_tail_once(
-    spark, path_glob: str, state: dict[str, tuple]
+    spark, path_glob: str | list[str], state: dict[str, tuple]
 ) -> tuple[DataFrame, dict[str, tuple]]:
     """One complete tail tick: discover grown files, seek-harvest their
     new bytes, and return (complete new lines, advanced state). Run it on

@@ -280,3 +280,53 @@ def test_forwarder_conf_parsing_errors(tmp_path):
     bad.write_text('{"files": [{"paths": ["/x"], "dead time": "often"}]}')
     with pytest.raises(ConfigError):
         load_forwarder_config(str(bad))
+
+
+def test_run_cli_conf_tail(spark, tmp_path, capsys):
+    """--conf --tail: the reference daemon's full shape — config-driven
+    discovery, live tailing of grown bytes only, static fields steering
+    the routes, a file APPEARING between polls picked up with its
+    group's fields."""
+    import json as _json
+    import os
+
+    logs = tmp_path / "tlogs"
+    logs.mkdir()
+    (logs / "web.log").write_bytes(b"GET /a 1 2 3\n")
+    os.environ["LFS_TAIL_LOGDIR"] = str(logs)
+    conf = tmp_path / "tail.conf"
+    conf.write_text(
+        '{"files": ['
+        '{"paths": ["$LFS_TAIL_LOGDIR/web*.log"], "fields": {"type": "apache"}},'
+        '{"paths": ["$LFS_TAIL_LOGDIR/sys*.log"], "fields": {"type": "syslog"}}'
+        "]}"
+    )
+    out = str(tmp_path / "outt")
+
+    rc = main(["--conf", str(conf), "--tail", "--out", out, "--run-id", "d1"])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["total_lines"] == 1
+
+    # grow web.log AND create a brand-new syslog file between polls
+    with open(logs / "web.log", "ab") as fh:
+        fh.write(b"GET /b 4 5 6\n")
+    (logs / "sys.log").write_bytes(
+        b"kern " + b"w " * 20 + b"\n"
+    )
+    rc = main(["--conf", str(conf), "--tail", "--out", out, "--run-id", "d1"])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # only the grown line + the new file's line — never a re-read
+    assert rec["total_lines"] == 2
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT sink, count(*) FROM read_parquet('{out}/run_id=*/sink=*/*.parquet', "
+        "hive_partitioning=true) GROUP BY sink ORDER BY sink"
+    ).fetchall()
+    # 2 apache lines routed by the config fields; the 21-token syslog
+    # line crosses the n_tok>16 route
+    assert dict(rows) == {"sink_apache": 2, "sink_syslog": 1}
