@@ -4,6 +4,7 @@ column names, and order-insensitive stringified values."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -14,7 +15,7 @@ from __spark_entry__ import entry, oracle_sql, queries  # noqa: E402
 
 from logstash_forwarder_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("LFS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
