@@ -27,6 +27,69 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def aggregate_correlate(
+    events: DataFrame,
+    *,
+    task_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    end_predicate: Column,
+    sum_exprs: dict[str, Column] | None = None,
+    emit_open: bool = False,
+) -> DataFrame:
+    """The logstash `aggregate` filter: correlate every event of a task,
+    merge fields across the task's events, and emit ONE summary row when
+    the task's *end* event arrives (push-map-as-event-on-task-end).
+
+    Reference semantics (public logstash aggregate filter contract): events
+    sharing a task id accumulate into a per-task map in arrival order; an
+    end-typed event pushes the map as a new event and deletes it, so a
+    later event with the same task id opens a FRESH map (a new *span*).
+    The relational re-expression: a task's span index is the number of end
+    events STRICTLY BEFORE it in (ts, tiebreak) order — a running sum over
+    a rows-frame — and the map-merge is a (task, span) hash-agg.
+
+    Emits, per closed span: ``task_cols...``, ``span`` (0-based),
+    ``n_events``, ``started_ts`` (first event), ``ended_ts`` (the end
+    event), ``span_us`` (microseconds start→end, timezone-free), plus one
+    column per ``sum_exprs`` entry (per-row expression summed across the
+    span — pre-convert floats to exact integers per the house rule).
+    With ``emit_open=True`` the unclosed tail span is emitted too with
+    ``timed_out=true`` and NULL ``ended_ts``/``span_us`` — the batch
+    analog of push_map_as_event_on_timeout (a closed input IS the
+    timeout horizon).
+
+    100 TB shape: ONE exchange on the task key. The window partition is
+    bounded by per-task volume (tasks are request/session-sized by
+    construction, the same bound `throttle` rides), and the follow-on
+    groupBy(task, span) is satisfied by the window's hash(task)
+    clustering — same-task rows are already co-located — so Spark plans
+    NO second exchange (asserted in tests/test_eventops.py).
+    """
+    sums = sum_exprs or {}
+    is_end = F.when(end_predicate, 1).otherwise(0)
+    w = (
+        Window.partitionBy(*task_cols)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    span = F.coalesce(F.sum(is_end).over(w), F.lit(0)).cast("long")
+    spanned = events.withColumn("__is_end", is_end).withColumn("span", span)
+    agg = spanned.groupBy(*task_cols, "span").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("started_ts"),
+        F.max(F.when(F.col("__is_end") == 1, F.col(ts_col))).alias("ended_ts"),
+        *[F.sum(c).alias(n) for n, c in sums.items()],
+    )
+    out = agg.withColumn(
+        "span_us",
+        F.expr("timestampdiff(MICROSECOND, started_ts, ended_ts)").cast("long"),
+    ).withColumn("timed_out", F.col("ended_ts").isNull())
+    if not emit_open:
+        out = out.where(~F.col("timed_out")).drop("timed_out")
+    return out
+
+
 def throttle(
     events: DataFrame,
     *,

@@ -2414,6 +2414,62 @@ FROM p
 """
 
 
+def q_aggregate_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-event task correlation (operators/eventops.py
+    aggregate_correlate — the logstash aggregate filter's
+    push-map-as-event-on-task-end mode): per user, every purchase closes a
+    span that accumulated all events since the previous purchase; one
+    summary row per closed span with event count, exact-integer cents sum,
+    and microsecond start→end latency. ONE exchange on the task key — the
+    span window and the (task, span) hash-agg share hash(user_id)
+    clustering (plan-asserted in tests/test_eventops.py). Streaming twin:
+    streaming/aggregate_stream.py, parity-tested across batch boundaries."""
+    from .operators.eventops import aggregate_correlate
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    out = aggregate_correlate(
+        _events(spark, sf_dir),
+        task_cols=("user_id",),
+        end_predicate=F.col("event_type") == "purchase",
+        sum_exprs={"value_cents": cents},
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "span",
+        "n_events",
+        F.col("value_cents").cast("long").alias("value_cents"),
+        "span_us",
+        F.date_format("ended_ts", fmt).alias("ended_at"),
+    )
+
+
+SQL_AGGREGATE_CORRELATE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_end,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+spanned AS (
+  SELECT *, COALESCE(SUM(is_end) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span
+  FROM ordered),
+agg AS (
+  SELECT user_id, CAST(span AS BIGINT) AS span,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS value_cents,
+         min(ts) AS started_ts,
+         max(CASE WHEN is_end = 1 THEN ts END) AS ended_ts
+  FROM spanned GROUP BY user_id, span)
+SELECT user_id, span, n_events, value_cents,
+       CAST(date_diff('microsecond', started_ts, ended_ts) AS BIGINT)
+         AS span_us,
+       strftime(ended_ts, '%Y-%m-%d %H:%M:%S.%f') AS ended_at
+FROM agg WHERE ended_ts IS NOT NULL
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed heavy hitters (operators/heavyhitters.py):
     bigrams with cnt*700 > n via two-pass Misra-Gries — per-partition
@@ -3912,6 +3968,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multiline_assemble": (q_multiline_assemble, SQL_MULTILINE),
     "throttle": (q_throttle, SQL_THROTTLE),
     "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
+    "aggregate_correlate": (q_aggregate_correlate, SQL_AGGREGATE_CORRELATE),
     "ip_range_lookup": (q_ip_range_lookup, SQL_IP_RANGE_LOOKUP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "date_parse": (q_date_parse, SQL_DATE_PARSE),
@@ -3957,11 +4014,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    # -- r4-green keepers (window-resident this round, tail in r6) --
-    "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     # ---- driver window ends here (first 50) ----
     # r4-green keepers rotated to tail for the r5 fieldops/meter/ivf-pq
     # queries (due back in the r6 window per the rotation schedule):
+    "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
