@@ -37,8 +37,15 @@ reaches for routinely:
 * :func:`anonymize_fields` / :func:`checksum_field` — the anonymize
   (sha256 per field) and checksum (md5 over a canonical field
   concatenation) filters; hex output is engine-portable.
+* :func:`clone_events` — the clone filter: original + one typed copy
+  per clone name (row-local explode, no exchange).
+* :func:`range_tags` — the range filter (action=tag): out-of-[lo,hi]
+  fields append tags; NULL fields skipped.
+* :func:`dns_lookup` — the dns filter against a static resolver table
+  (broadcast cache-sized join; miss → _dnsfailure tag).
 
-All are built-in Column expressions: zero Python, zero shuffle.
+All are built-in Column expressions: zero Python; the only join is the
+dns cache broadcast.
 """
 
 from __future__ import annotations
@@ -289,3 +296,83 @@ def checksum_field(
             )
         ),
     )
+
+
+def clone_events(
+    df: DataFrame, clones: list[str], *, type_col: str = "type"
+) -> DataFrame:
+    """The logstash clone filter: each input event passes through
+    unchanged PLUS one copy per entry of ``clones`` with ``type_col``
+    rewritten to the clone name and ``cloned=true`` (logstash sets the
+    clone's type and leaves the original's alone).
+
+    Row-local fan-out: one ``explode`` over a (1+len(clones))-element
+    literal array — a Generate node inside the scan's stage, no
+    exchange, output exactly (1+len(clones))x input rows.
+    """
+    variants = F.array(
+        F.lit(None).cast("string"), *[F.lit(c) for c in clones]
+    )
+    return (
+        df.withColumn("__clone", F.explode(variants))
+        .withColumn("cloned", F.col("__clone").isNotNull())
+        .withColumn(type_col, F.coalesce(F.col("__clone"), F.col(type_col)))
+        .drop("__clone")
+    )
+
+
+def range_tags(
+    checks: list[tuple[str, float, float, str]],
+) -> Column:
+    """The logstash range filter, ``action => tag``: one tag per check
+    whose field falls OUTSIDE [lo, hi]. Missing (NULL) fields are
+    skipped, the filter's contract. Returns the joined tag string
+    (check order, comma-separated, '' when none) — ``concat_ws`` drops
+    the NULL branches, identical in DuckDB for the oracle.
+    """
+    return F.concat_ws(
+        ",",
+        *[
+            F.when(~F.col(c).between(lo, hi), F.lit(tag))
+            for c, lo, hi, tag in checks
+        ],
+    )
+
+
+def dns_lookup(
+    df: DataFrame,
+    hosts: DataFrame,
+    *,
+    field: str,
+    addr_col: str = "addr",
+    name_col: str = "name",
+    action: str = "append",
+    dest: str = "resolved",
+    miss_tag: str = "_dnsfailure",
+) -> DataFrame:
+    """The logstash dns filter (reverse mode) against a STATIC resolver
+    table — the deterministic, cluster-safe form: live per-row DNS from
+    executors is an anti-pattern (unbounded latency in the hot path);
+    the production shape is a pre-resolved cache relation, exactly what
+    the filter's own in-process cache approximates.
+
+    Broadcast left join on ``field == addr_col`` (the hosts table is
+    cache-sized — constant at any data scale); hits land in ``dest``
+    (``action='replace'`` rewrites ``field`` instead, keeping the
+    original on miss); misses get ``dns_tags=miss_tag`` (logstash's
+    _dnsfailure analog, '' on hit).
+    """
+    dim = F.broadcast(
+        hosts.select(
+            F.col(addr_col).alias("__addr"), F.col(name_col).alias("__name")
+        )
+    )
+    out = df.join(dim, F.col(field) == F.col("__addr"), "left")
+    if action == "replace":
+        out = out.withColumn(field, F.coalesce("__name", field))
+    else:
+        out = out.withColumn(dest, F.col("__name"))
+    return out.withColumn(
+        "dns_tags",
+        F.when(F.col("__name").isNull(), F.lit(miss_tag)).otherwise(F.lit("")),
+    ).drop("__addr", "__name")

@@ -2657,6 +2657,90 @@ FROM m
 """
 
 
+def q_clone_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone + range filters composed (operators/filters.py clone_events /
+    range_tags): every event passes through plus one 'audit'-typed copy
+    (row-local explode — a Generate in the scan's stage, no exchange),
+    and both copies run the range check (clones re-enter the filter
+    chain, the logstash contract): value outside [0, 10] appends a tag.
+    Boolean compare only on the value column (no float arithmetic in
+    compared output, house rule)."""
+    from .operators.filters import clone_events, range_tags
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    c = clone_events(e, ["audit"], type_col="event_type")
+    return c.select(
+        "event_id",
+        "event_type",
+        "cloned",
+        range_tags([("value", 0.0, 10.0, "value_out_of_range")]).alias(
+            "range_tags_s"
+        ),
+    )
+
+
+SQL_CLONE_RANGE = """
+WITH c AS (
+  SELECT event_id, event_type, value, FALSE AS cloned FROM events
+  UNION ALL
+  SELECT event_id, 'audit' AS event_type, value, TRUE AS cloned FROM events)
+SELECT event_id, event_type, cloned,
+       concat_ws(',', CASE WHEN NOT (value BETWEEN 0.0 AND 10.0)
+                           THEN 'value_out_of_range' END) AS range_tags_s
+FROM c
+"""
+
+
+def q_dns_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNS filter in its cluster-safe form (operators/filters.py
+    dns_lookup): client IPs harvested from the rendered access-log
+    fixture resolve against a STATIC resolver table (the filter's
+    in-process cache made into a relation — constant-size at any data
+    scale, so the join broadcasts); misses carry the _dnsfailure tag.
+    The fixture's IPs are pure functions of doc_id, so the oracle
+    recomputes resolution arithmetically."""
+    from .operators.fieldops import ipv4_to_long
+    from .operators.filters import dns_lookup
+    from .sources.textlog import harvest_text_files
+
+    log_dir = _materialize_access_logs(sf_dir)
+    lines = harvest_text_files(spark, f"{log_dir}/*.log").filter("is_complete")
+    client = F.substring_index("line", " ", 1)
+    base = 10 * 16777216  # fixture IPs are 10.x.y.z of doc_id
+    logs = lines.select(
+        (ipv4_to_long(client) - F.lit(base)).cast("long").alias("doc_id"),
+        client.alias("client"),
+    )
+    hosts = (
+        spark.range(0, 4096)
+        .where(F.col("id") % 7 == 0)
+        .select(
+            F.concat_ws(
+                ".",
+                F.lit(10),
+                (F.col("id") / 65536).cast("long") % 256,
+                (F.col("id") / 256).cast("long") % 256,
+                F.col("id") % 256,
+            ).alias("addr"),
+            F.concat(F.lit("ns-"), F.col("id")).alias("name"),
+        )
+    )
+    out = dns_lookup(logs, hosts, field="client")
+    return out.select("doc_id", "client", "resolved", "dns_tags")
+
+
+SQL_DNS_LOOKUP = """
+SELECT doc_id,
+       '10.' || ((doc_id // 65536) % 256) || '.' || ((doc_id // 256) % 256)
+            || '.' || (doc_id % 256) AS client,
+       CASE WHEN doc_id < 4096 AND doc_id % 7 = 0
+            THEN 'ns-' || doc_id END AS resolved,
+       CASE WHEN doc_id < 4096 AND doc_id % 7 = 0
+            THEN '' ELSE '_dnsfailure' END AS dns_tags
+FROM documents
+"""
+
+
 def q_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-agent parsing (operators/filters.py — the logstash useragent
     filter, uap-core idea restricted to the major families): six UA
@@ -4071,6 +4155,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    # -- new in r5 AFTER the window filled (every in-window slot is due a
+    # driver row this round); local-gate green now, first driver row in
+    # the r6 window per the rotation schedule --
+    "clone_range": (q_clone_range, SQL_CLONE_RANGE),
+    "dns_lookup": (q_dns_lookup, SQL_DNS_LOOKUP),
 }
 
 

@@ -235,3 +235,75 @@ def test_kv_extract_near_miss_key(spark):
     df = spark.createDataFrame([("xa=5 b=1",)], "kv string")
     r = kv_extract(df, "kv", {"a": "long", "b": "long"}).collect()[0]
     assert r.a is None and r.b == 1
+
+
+def test_clone_events_fanout_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.operators.filters import clone_events
+
+    df = spark.createDataFrame(
+        [(1, "error"), (2, "view")], "event_id long, type string"
+    )
+    out = clone_events(df, ["audit", "replay"])
+    rows = out.collect()
+    assert len(rows) == 6  # original + 2 clones each
+    got = {(r.event_id, r.type, r.cloned) for r in rows}
+    assert (1, "error", False) in got  # original keeps its type
+    assert (1, "audit", True) in got and (2, "replay", True) in got
+    # row-local fan-out: Generate, no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+    _ = F  # imported for parity with sibling tests
+
+
+def test_range_tags_bounds_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.operators.filters import range_tags
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 3), (2, 11.0, 99), (3, None, 99), (4, -0.5, 99)],
+        "id long, v double, n long",
+    )
+    tags = range_tags(
+        [("v", 0.0, 10.0, "v_range"), ("n", 0, 10, "n_range")]
+    )
+    got = {r.id: r.t for r in df.select("id", tags.alias("t")).collect()}
+    assert got == {
+        1: "",  # both in range
+        2: "v_range,n_range",  # both out, check order preserved
+        3: "n_range",  # NULL field skipped (logstash contract)
+        4: "v_range,n_range",  # below lo counts too
+    }
+    _ = F
+
+
+def test_dns_lookup_hit_miss_replace(spark):
+    from logstash_forwarder_spark.operators.filters import dns_lookup
+
+    logs = spark.createDataFrame(
+        [(1, "10.0.0.1"), (2, "10.0.0.2")], "id long, client string"
+    )
+    hosts = spark.createDataFrame(
+        [("10.0.0.1", "gw.example")], "addr string, name string"
+    )
+    ap = {r.id: r for r in dns_lookup(logs, hosts, field="client").collect()}
+    assert ap[1].resolved == "gw.example" and ap[1].dns_tags == ""
+    assert ap[2].resolved is None and ap[2].dns_tags == "_dnsfailure"
+    rp = {
+        r.id: r
+        for r in dns_lookup(
+            logs, hosts, field="client", action="replace"
+        ).collect()
+    }
+    assert rp[1].client == "gw.example"
+    assert rp[2].client == "10.0.0.2"  # miss keeps the original
+    # cache-sized side broadcasts
+    plan = (
+        dns_lookup(logs, hosts, field="client")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
