@@ -43,6 +43,11 @@ reaches for routinely:
   fields append tags; NULL fields skipped.
 * :func:`dns_lookup` — the dns filter against a static resolver table
   (broadcast cache-sized join; miss → _dnsfailure tag).
+* :func:`metricize` — N metric fields → N single-metric events via
+  ``stack`` (an Expand in the scan's stage, no exchange).
+* :func:`cipher_field` — the cipher filter: deterministic AES-ECB+PKCS
+  field tokenization, base64 transport (GCM trades the determinism
+  dedup/replay rely on for IND-CPA — documented choice).
 
 All are built-in Column expressions: zero Python; the only join is the
 dns cache broadcast.
@@ -376,3 +381,49 @@ def dns_lookup(
         "dns_tags",
         F.when(F.col("__name").isNull(), F.lit(miss_tag)).otherwise(F.lit("")),
     ).drop("__addr", "__name")
+
+
+def metricize(
+    df: DataFrame,
+    metrics: list[str],
+    *,
+    id_cols: list[str],
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """The logstash metricize filter: an event carrying N metric fields
+    splits into N single-metric events (metric name + value columns).
+
+    Relational form: ``stack`` — an Expand node inside the scan's
+    stage, row-local, no exchange; output exactly N× input rows. The
+    inverse of a pivot, so downstream per-metric aggregation becomes a
+    plain (metric, ...) group-by instead of N parallel aggregates.
+    """
+    pairs = ", ".join(f"'{m}', `{m}`" for m in metrics)
+    return df.select(
+        *id_cols,
+        F.expr(f"stack({len(metrics)}, {pairs})").alias(
+            metric_col, value_col
+        ),
+    )
+
+
+def cipher_field(col: Column | str, key: str, *, decrypt: bool = False) -> Column:
+    """The logstash cipher filter: AES-ECB + PKCS padding over a field,
+    base64 transport encoding (encrypt direction), or the inverse.
+
+    ECB is chosen DELIBERATELY: the filter's job here is field-level
+    tokenization where determinism is load-bearing — the same plaintext
+    must produce the same ciphertext so exact-dedup, group-bys and the
+    registrar's replay-stable identities keep working over the
+    enciphered column. For at-rest confidentiality of free text use
+    GCM instead (random IV → IND-CPA) and give up those equalities.
+    Key sizing follows the AES contract (16/24/32-byte keys).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    mode, pad = F.lit("ECB"), F.lit("PKCS")
+    if decrypt:
+        return F.aes_decrypt(
+            F.unbase64(c), F.lit(key), mode, pad
+        ).cast("string")
+    return F.base64(F.aes_encrypt(c.cast("binary"), F.lit(key), mode, pad))

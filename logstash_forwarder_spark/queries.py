@@ -2741,6 +2741,80 @@ FROM documents
 """
 
 
+def q_metricize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metricize filter (operators/filters.py metricize): each lineitem
+    event carrying three metric fields splits into three single-metric
+    events — an Expand inside the scan's stage, no exchange, exactly 3×
+    input rows. Metrics pre-converted to exact integers (cents / basis
+    points) per the house rule before the unpivot."""
+    from .operators.filters import metricize
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("disc_bp"),
+    )
+    return metricize(
+        li,
+        ["qty_c", "price_c", "disc_bp"],
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+SQL_METRICIZE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, 'qty_c' AS metric, qty_c AS value FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price_c', price_c FROM li
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'disc_bp', disc_bp FROM li
+"""
+
+
+def q_cipher_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cipher filter (operators/filters.py cipher_field): AES-128-ECB
+    tokenization of the document text, gated by the decrypt∘encrypt
+    roundtrip recovering the plaintext and the ciphertext being a
+    non-identity block-aligned transform. The oracle can't run AES, so
+    it states the INVARIANTS (roundtrip identity, alignment) — the
+    deterministic same-plaintext→same-ciphertext property that makes
+    ECB the right mode for tokenized dedup is unit-tested in
+    tests/test_filters.py."""
+    from .operators.filters import cipher_field
+
+    key = "0123456789abcdef"
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ct = cipher_field(F.col("text"), key)
+    return d.select(
+        "doc_id",
+        (cipher_field(ct, key, decrypt=True) == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+        (F.length(F.unbase64(ct)) % 16 == 0).alias("block_aligned"),
+        (ct != F.col("text")).alias("transformed"),
+    )
+
+
+SQL_CIPHER_ROUNDTRIP = """
+SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS block_aligned,
+       TRUE AS transformed
+FROM documents
+"""
+
+
 def q_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-agent parsing (operators/filters.py — the logstash useragent
     filter, uap-core idea restricted to the major families): six UA
@@ -4160,6 +4234,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # the r6 window per the rotation schedule --
     "clone_range": (q_clone_range, SQL_CLONE_RANGE),
     "dns_lookup": (q_dns_lookup, SQL_DNS_LOOKUP),
+    "metricize": (q_metricize, SQL_METRICIZE),
+    "cipher_roundtrip": (q_cipher_roundtrip, SQL_CIPHER_ROUNDTRIP),
 }
 
 

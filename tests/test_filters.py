@@ -307,3 +307,38 @@ def test_dns_lookup_hit_miss_replace(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_metricize_expand_no_exchange(spark):
+    from logstash_forwarder_spark.operators.filters import metricize
+
+    df = spark.createDataFrame(
+        [(1, 10, 20, 30)], "id long, a long, b long, c long"
+    )
+    out = metricize(df, ["a", "b", "c"], id_cols=["id"])
+    got = {(r.metric, r.value) for r in out.collect()}
+    assert got == {("a", 10), ("b", 20), ("c", 30)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cipher_field_deterministic_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.operators.filters import cipher_field
+
+    key = "0123456789abcdef"
+    df = spark.createDataFrame(
+        [(1, "the same text"), (2, "the same text"), (3, "different")],
+        "id long, t string",
+    )
+    enc = df.select("id", "t", cipher_field("t", key).alias("ct"))
+    rows = {r.id: r for r in enc.collect()}
+    # determinism: identical plaintexts -> identical ciphertexts (the
+    # property that keeps dedup/group-by working over tokenized fields)
+    assert rows[1].ct == rows[2].ct != rows[3].ct
+    assert all(r.ct != r.t for r in rows.values())
+    dec = enc.select(
+        "id", (cipher_field("ct", key, decrypt=True) == F.col("t")).alias("ok")
+    )
+    assert all(r.ok for r in dec.collect())
