@@ -1,0 +1,255 @@
+"""Incremental corpus dedup — the ONGOING-pipeline form of the dedup
+tier: each new crawl batch dedups against everything already accepted
+(and itself) without ever rescanning the corpus text, by maintaining a
+committed SIGNATURE STORE (content fingerprint + minhash signature per
+kept doc). This is the shape a production training-data pipeline
+actually runs: the corpus is append-only, batches arrive forever, and
+re-running whole-corpus dedup per batch is O(corpus) per batch —
+signatures make it O(batch + matched-buckets).
+
+Semantics (greedy, first-wins — what incremental pipelines do):
+
+* exact: a new doc whose normalized-text fingerprint (md5 — portable,
+  the `dedup_exact` convention) already exists in the store, or is not
+  the min-id holder of its fingerprint within the batch, is dropped.
+* near: a new doc whose minhash signature agrees with ANY stored (or
+  surviving lower-id in-batch) signature on >= tau% of slots, found via
+  banded-LSH bucket match, is dropped. Pair-rule within the batch
+  (doc_b of every qualifying (a<b) pair drops) is deliberately
+  conservative: it can only drop MORE, so the kept-set invariants below
+  still hold.
+
+Invariants (tested in tests/test_incremental.py):
+  I1  kept docs have pairwise-distinct fingerprints, and none matches a
+      previously committed fingerprint (exact == whole-corpus dedup
+      when batches are id-ordered).
+  I2  no kept doc's signature est-jaccard-matches (>= tau) any earlier
+      kept doc's signature (greedy near-dup invariant).
+  I3  a batch commit is atomic: a crash between data write and marker
+      leaves the store unchanged (marker is an O_EXCL create, the
+      registrar/manifest discipline — plans/manifest.py:33).
+
+100 TB shape: the store is data-sized (grows with the corpus); the
+batch is bounded (one poll/ingest). Every store access here is a scan
+plus a BROADCAST hash join against the batch side — the store is never
+shuffled, never collected, and its scan prunes to the two columns each
+stage needs. When a batch is too big to broadcast, the documented
+fallback is the bucketed co-located join (plans/bucketing.py): store
+written bucketed by (band, bucket), batch repartitioned to match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_MINHASH_K,
+    DEFAULT_SHINGLE,
+    _norm,
+    band_bucket_struct,
+    minhash_signatures,
+)
+
+
+class SignatureStore:
+    """Parquet signature store with atomic, exactly-once batch commits.
+
+    Layout: ``<root>/sigs/b=<batch_id>/*.parquet`` holding
+    (doc_id, fp: string, sig: array<bigint> nullable) — plus a
+    ``<root>/_committed_<batch_id>`` marker created with O_EXCL AFTER
+    the data lands. Readers union only marked batches, so a crash
+    between data write and marker leaves the store observably
+    unchanged; a replayed commit of the same batch_id is refused by the
+    marker's exclusive create (the registrar's replay-skip, one level
+    simpler because batch dirs are content-addressed by id).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _marker(self, batch_id: str) -> str:
+        return os.path.join(self.root, f"_committed_{batch_id}")
+
+    def committed(self) -> list[str]:
+        return sorted(
+            f[len("_committed_"):]
+            for f in os.listdir(self.root)
+            if f.startswith("_committed_")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """(doc_id, fp, sig) across every committed batch; None if empty."""
+        paths = [
+            os.path.join(self.root, "sigs", f"b={b}") for b in self.committed()
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def append(self, sigs: DataFrame, batch_id: str) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            raise ValueError(
+                f"batch {batch_id!r} already committed (replay refused)"
+            )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.root, "sigs", f"b={batch_id}")
+        )
+        fd = os.open(self._marker(batch_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+
+def _batch_signatures(
+    batch: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    seed: int,
+) -> DataFrame:
+    """(doc_id, fp, sig) for a batch — fp for every doc, sig only where
+    the doc has >= n words (minhash kernel drops shingle-less docs; they
+    still participate in exact dedup). One batch-keyed join, batch-sized."""
+    fps = batch.select(
+        F.col(id_col), F.md5(_norm(F.col(text_col))).alias("fp")
+    )
+    sigs = minhash_signatures(
+        batch, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+    )
+    return fps.join(sigs, id_col, "left")
+
+
+def _agree_pct(k: int):
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (matches * 100 / F.lit(k)).cast("long")
+
+
+def store_exact_hits(stored: DataFrame, batch_fps: DataFrame) -> DataFrame:
+    """Fingerprints of ``batch_fps`` already present in the store: store
+    scan + broadcast LEFT-SEMI on the (bounded) batch side — the store is
+    never shuffled, never collected (plan-asserted in tests)."""
+    # no distinct: the caller anti-joins, which tolerates duplicates —
+    # keeping this plan Exchange-free (broadcasts only)
+    return stored.select("fp").join(
+        F.broadcast(batch_fps.select("fp")), "fp", "left_semi"
+    )
+
+
+def store_near_drops(
+    stored: DataFrame,
+    new_banded: DataFrame,
+    *,
+    k: int,
+    bands: int,
+    rows_per_band: int,
+    tau_pct: int,
+) -> DataFrame:
+    """new_ids whose signature est-jaccard-matches (>= tau) any stored
+    signature sharing a band bucket. Store bands stream out of the scan
+    into ONE broadcast hash join against the batch's banded signatures —
+    again no store shuffle (plan-asserted)."""
+    old_banded = stored.where(F.col("sig").isNotNull()).select(
+        F.col("sig").alias("sig_a"), band_bucket_struct(bands, rows_per_band)
+    ).select("sig_a", "bb.band", "bb.bucket")
+    # no distinct (same reason as store_exact_hits): anti-join downstream
+    return (
+        old_banded.join(F.broadcast(new_banded), ["band", "bucket"])
+        .where(_agree_pct(k) >= tau_pct)
+        .select("new_id")
+    )
+
+
+def incremental_dedup_batch(
+    spark: SparkSession,
+    store: SignatureStore,
+    batch: DataFrame,
+    *,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    seed: int = 42,
+    tau_pct: int = 80,
+    commit: bool = True,
+) -> DataFrame:
+    """Dedup ``batch`` against the store and itself (greedy first-wins);
+    commit survivors' signatures under ``batch_id``; return the kept
+    (doc_id, fp) rows.
+
+    Store-side joins are all broadcast-of-the-batch (store scanned, never
+    shuffled); in-batch stages shuffle only batch-sized relations.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows_per_band = k // bands
+    new_sigs = _batch_signatures(
+        batch, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+    ).localCheckpoint()  # one kernel pass; reused by 3 stages below
+
+    # -- exact, in-batch: min id per fingerprint wins ----------------------
+    keep_exact = new_sigs.withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("fp").orderBy(id_col)),
+    ).where(F.col("_rk") == 1).drop("_rk")
+
+    stored = store.read(spark)
+    if stored is not None:
+        # -- exact, vs store ----------------------------------------------
+        keep_exact = keep_exact.join(
+            F.broadcast(store_exact_hits(stored, keep_exact)), "fp", "left_anti"
+        )
+
+    survivors = keep_exact.localCheckpoint()
+
+    # -- near, in-batch: banded self-match, pair-rule drop of higher ids --
+    banded = survivors.where(F.col("sig").isNotNull()).select(
+        id_col, "sig", band_bucket_struct(bands, rows_per_band)
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    in_batch_drops = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .where(_agree_pct(k) >= tau_pct)
+        .select(id_col)
+        .distinct()
+    )
+    survivors = survivors.join(F.broadcast(in_batch_drops), id_col, "left_anti")
+
+    # -- near, vs store: store bands + broadcast batch bands --------------
+    if stored is not None:
+        new_banded = survivors.where(F.col("sig").isNotNull()).select(
+            F.col(id_col), "sig", band_bucket_struct(bands, rows_per_band)
+        ).select(
+            F.col(id_col).alias("new_id"),
+            F.col("sig").alias("sig_b"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        drops = store_near_drops(
+            stored,
+            new_banded,
+            k=k,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            tau_pct=tau_pct,
+        ).select(F.col("new_id").alias(id_col))
+        survivors = survivors.join(F.broadcast(drops), id_col, "left_anti")
+
+    kept = survivors.select(id_col, "fp", "sig").localCheckpoint()
+    if commit:
+        store.append(kept, batch_id)
+    return kept.select(id_col, "fp")

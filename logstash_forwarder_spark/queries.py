@@ -2741,6 +2741,80 @@ FROM documents
 """
 
 
+def _incremental_dedup_run(
+    spark: SparkSession, sf_dir: str, tau_pct: int
+) -> DataFrame:
+    """Shared driver for the incremental-dedup queries: documents split
+    into two ID-ORDERED batches (lower half first — first-wins then
+    coincides with global min-id keeper election for the exact path),
+    fed through operators/incremental.py against a fresh per-run store."""
+    import tempfile
+
+    from .operators.incremental import SignatureStore, incremental_dedup_batch
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    split = d.count() // 2
+    store = SignatureStore(tempfile.mkdtemp(prefix="lfs_incr_"))
+    k1 = incremental_dedup_batch(
+        spark,
+        store,
+        d.where(F.col("doc_id") < split),
+        batch_id="b1",
+        tau_pct=tau_pct,
+    )
+    k2 = incremental_dedup_batch(
+        spark,
+        store,
+        d.where(F.col("doc_id") >= split),
+        batch_id="b2",
+        tau_pct=tau_pct,
+    )
+    return (
+        k1.withColumn("batch", F.lit("b1"))
+        .unionByName(k2.withColumn("batch", F.lit("b2")))
+        .select("doc_id", "fp", "batch")
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup, FULL flow (operators/incremental.py):
+    two id-ordered batches greedily deduped (exact fingerprints + banded
+    minhash near-dups at tau=80) against a committed signature store —
+    the ongoing-pipeline form where each new crawl batch joins the
+    corpus without rescanning it (store scanned + batch broadcast, never
+    a store shuffle; plan-asserted in tests/test_incremental.py).
+    ROWS-ONLY like minhash_lsh: the near path rides engine-specific
+    xxhash64 minhash; greedy near-dedup is also non-relational, so no
+    SQL twin exists — the exact-path witness below is the oracle-able
+    slice, and the greedy invariants are pytest-swept."""
+    return _incremental_dedup_run(spark, sf_dir, tau_pct=80)
+
+
+def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-able witness for incremental dedup: same two-batch flow
+    with the near threshold set unreachable (tau=101 — agreement tops
+    out at 100), so drops are exactly the portable md5 fingerprint
+    matches. First-wins over id-ordered batches == global min-id keeper
+    per fingerprint, which IS relational — the full SQL twin below. The
+    near machinery still executes (banded buckets built and joined,
+    agreement evaluated); only its drop rule is vacuous here."""
+    return _incremental_dedup_run(spark, sf_dir, tau_pct=101)
+
+
+SQL_INCREMENTAL_DEDUP_EXACT = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents),
+keepers AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp FROM fp GROUP BY fp)
+SELECT doc_id, fp,
+       CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents)
+            THEN 'b1' ELSE 'b2' END AS batch
+FROM keepers
+"""
+
+
 def q_metricize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metricize filter (operators/filters.py metricize): each lineitem
     event carrying three metric fields splits into three single-metric
@@ -4236,6 +4310,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dns_lookup": (q_dns_lookup, SQL_DNS_LOOKUP),
     "metricize": (q_metricize, SQL_METRICIZE),
     "cipher_roundtrip": (q_cipher_roundtrip, SQL_CIPHER_ROUNDTRIP),
+    "incremental_dedup": (q_incremental_dedup, None),  # greedy + engine hash
+    "incremental_dedup_exact": (
+        q_incremental_dedup_exact,
+        SQL_INCREMENTAL_DEDUP_EXACT,
+    ),
 }
 
 
