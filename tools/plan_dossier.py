@@ -130,6 +130,31 @@ CLAIMS = {
         "codes (query side broadcast), survivors shuffle as id triples; "
         "re-rank joins are broadcast-bounded by refine"
     ),
+    # -- r5 final additions --
+    "aggregate_correlate": (
+        "ONE task-keyed exchange: the span window's hash(user_id) "
+        "clustering satisfies the (user_id, span) group-by, so Spark "
+        "plans no second data shuffle"
+    ),
+    "metricize": (
+        "stack unpivot is an Expand inside the scan's stage — ZERO "
+        "shuffle, zero Python, 3x rows out of the same partition"
+    ),
+    "clone_range": (
+        "clone explode is a Generate in the scan's stage; the range "
+        "check rides the same Project — ZERO shuffle, zero Python"
+    ),
+    "dns_lookup": (
+        "resolver table is cache-sized (explicit broadcast hint — "
+        "legitimate at any scale, the region/nation class); harvest + "
+        "extract + join all in one stage, ZERO data shuffles"
+    ),
+    "incremental_dedup": (
+        "store scanned, NEVER shuffled: store-exact is a broadcast "
+        "semi-join of batch fingerprints, store-near ONE broadcast hash "
+        "join of batch band buckets; only batch-sized relations "
+        "(signatures, window election, self-join) repartition"
+    ),
 }
 
 
