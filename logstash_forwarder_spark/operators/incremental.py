@@ -91,8 +91,15 @@ class SignatureStore:
             return None
         return spark.read.parquet(*paths)
 
-    def append(self, sigs: DataFrame, batch_id: str) -> None:
+    def append(
+        self, sigs: DataFrame, batch_id: str, *, exist_ok: bool = False
+    ) -> None:
+        """``exist_ok=True`` turns a replayed commit into a no-op instead
+        of an error — the tail daemon's crash-replay path, where the same
+        deterministic batch recomputes the same kept set."""
         if os.path.exists(self._marker(batch_id)):
+            if exist_ok:
+                return
             raise ValueError(
                 f"batch {batch_id!r} already committed (replay refused)"
             )
@@ -111,13 +118,18 @@ def _batch_signatures(
     n: int,
     k: int,
     seed: int,
+    near: bool = True,
 ) -> DataFrame:
     """(doc_id, fp, sig) for a batch — fp for every doc, sig only where
     the doc has >= n words (minhash kernel drops shingle-less docs; they
-    still participate in exact dedup). One batch-keyed join, batch-sized."""
+    still participate in exact dedup). One batch-keyed join, batch-sized.
+    ``near=False`` (exact-only mode) skips the minhash kernel entirely
+    and emits NULL sigs — the tail daemon's line-dedup fast path."""
     fps = batch.select(
         F.col(id_col), F.md5(_norm(F.col(text_col))).alias("fp")
     )
+    if not near:
+        return fps.withColumn("sig", F.lit(None).cast("array<bigint>"))
     sigs = minhash_signatures(
         batch, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
     )
@@ -178,21 +190,28 @@ def incremental_dedup_batch(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     seed: int = 42,
-    tau_pct: int = 80,
+    tau_pct: int | None = 80,
     commit: bool = True,
+    commit_exist_ok: bool = False,
 ) -> DataFrame:
     """Dedup ``batch`` against the store and itself (greedy first-wins);
     commit survivors' signatures under ``batch_id``; return the kept
-    (doc_id, fp) rows.
+    (doc_id, fp, sig) rows — with ``commit=False`` the caller defers the
+    append (publish-first ordering: duplicates-over-loss) and hands the
+    SAME returned frame back to ``store.append``. ``tau_pct=None`` runs
+    EXACT-ONLY (no minhash kernel, no banded stages — the line-dedup
+    fast path).
 
     Store-side joins are all broadcast-of-the-batch (store scanned, never
     shuffled); in-batch stages shuffle only batch-sized relations.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
+    near = tau_pct is not None
     rows_per_band = k // bands
     new_sigs = _batch_signatures(
-        batch, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+        batch, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed,
+        near=near,
     ).localCheckpoint()  # one kernel pass; reused by 3 stages below
 
     # -- exact, in-batch: min id per fingerprint wins ----------------------
@@ -207,6 +226,12 @@ def incremental_dedup_batch(
         keep_exact = keep_exact.join(
             F.broadcast(store_exact_hits(stored, keep_exact)), "fp", "left_anti"
         )
+
+    if not near:
+        kept = keep_exact.select(id_col, "fp", "sig").localCheckpoint()
+        if commit:
+            store.append(kept, batch_id, exist_ok=commit_exist_ok)
+        return kept
 
     survivors = keep_exact.localCheckpoint()
 
@@ -251,5 +276,5 @@ def incremental_dedup_batch(
 
     kept = survivors.select(id_col, "fp", "sig").localCheckpoint()
     if commit:
-        store.append(kept, batch_id)
-    return kept.select(id_col, "fp")
+        store.append(kept, batch_id, exist_ok=commit_exist_ok)
+    return kept

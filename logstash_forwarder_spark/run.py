@@ -14,6 +14,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .datagen import gen_sequences, gen_source_dim
 from .pipeline import PipelineSpec, run_pipeline
@@ -97,6 +98,23 @@ def main(argv: list[str] | None = None) -> int:
         default="rename",
         help="sink publish protocol: atomic directory rename (POSIX) or "
         "rename-free manifest files (object-store-safe; plans/manifest.py)",
+    )
+    p.add_argument(
+        "--dedup-store",
+        metavar="DIR",
+        help="with --tail-glob / --conf --tail: dedup each poll's lines "
+        "against a persistent signature store (operators/incremental.py) "
+        "before shipping — re-globbed rotated copies and replayed content "
+        "ship once; duplicate lines are dropped by content fingerprint",
+    )
+    p.add_argument(
+        "--dedup-near-tau",
+        type=int,
+        default=None,
+        metavar="PCT",
+        help="with --dedup-store: ALSO drop near-duplicate lines whose "
+        "minhash signatures agree on >= PCT%% of slots (default: exact "
+        "fingerprint matches only)",
     )
     p.add_argument("--master", default=None, help="override master (local[N])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -290,6 +308,12 @@ def _tail_loop(spark, args) -> int:
         release_poll_checkpoint,
     )
 
+    dedup_store = None
+    if args.dedup_store:
+        from .operators.incremental import SignatureStore
+
+        dedup_store = SignatureStore(args.dedup_store)
+
     state_path = os.path.join(args.out, "_tailstate.json")
     state: dict[str, tuple[int, int]] = {}
     poll_base = 0
@@ -365,21 +389,66 @@ def _tail_loop(spark, args) -> int:
                 json.dumps(sorted((k2, list(v)) for k2, v in new_state.items())).encode()
             ).hexdigest()[:8]
             seqs = lines_to_sequences(harvested)
-            res = run_pipeline(
-                spark,
-                seqs,
-                dim,
-                PipelineSpec(
-                    out_dir=args.out,
-                    run_id=f"{base}-p{poll_no}-{fp}",
-                    commit_mode=args.commit_mode,
-                ),
-            )
-            rec.update(
-                run_id=res.run_id,
-                sinks_committed=res.sinks_committed,
-                rows_staged=res.rows_staged,
-            )
+            kept_sigs = None
+            if dedup_store is not None:
+                # line-level dedup against the persistent signature store:
+                # re-globbed rotated copies / replayed content ship once.
+                # Dedup runs BEFORE publish, but the store append is
+                # DEFERRED until after the pipeline commit (publish-first:
+                # a crash between the two re-ships at most this poll's
+                # lines — duplicates-over-loss, the tail loop's documented
+                # recovery choice; the registrar's replay-skip still
+                # catches the pure-replay case).
+                from .operators.incremental import incremental_dedup_batch
+
+                line_ids = F.concat_ws(
+                    ":", "file", F.col("line_no").cast("string")
+                )
+                lines_df = harvested.filter("is_complete").select(
+                    line_ids.alias("line_id"), F.col("line").alias("text")
+                )
+                kept_sigs = incremental_dedup_batch(
+                    spark,
+                    dedup_store,
+                    lines_df,
+                    batch_id=f"{base}-p{poll_no}-{fp}",
+                    id_col="line_id",
+                    tau_pct=args.dedup_near_tau,
+                    commit=False,
+                )
+                seqs = seqs.join(
+                    F.broadcast(
+                        kept_sigs.select(F.col("line_id").alias("doc_id"))
+                    ),
+                    "doc_id",
+                    "left_semi",
+                )
+                n_kept = kept_sigs.count()
+                rec["dup_lines"] = n_lines - n_kept
+            if kept_sigs is None or n_kept:
+                # (an all-duplicates poll skips the publish but still
+                # commits its empty signature batch and advances offsets)
+                res = run_pipeline(
+                    spark,
+                    seqs,
+                    dim,
+                    PipelineSpec(
+                        out_dir=args.out,
+                        run_id=f"{base}-p{poll_no}-{fp}",
+                        commit_mode=args.commit_mode,
+                    ),
+                )
+                rec.update(
+                    run_id=res.run_id,
+                    sinks_committed=res.sinks_committed,
+                    rows_staged=res.rows_staged,
+                )
+            if kept_sigs is not None:
+                # store append AFTER the publish (publish-first ordering);
+                # exist_ok: a crash-replay recomputes the same batch_id
+                dedup_store.append(
+                    kept_sigs, f"{base}-p{poll_no}-{fp}", exist_ok=True
+                )
             state = new_state
             doc = {k2: list(v) for k2, v in state.items()}
             doc["_polls"] = poll_no + 1

@@ -330,3 +330,67 @@ def test_run_cli_conf_tail(spark, tmp_path, capsys):
     # 2 apache lines routed by the config fields; the 21-token syslog
     # line crosses the n_tok>16 route
     assert dict(rows) == {"sink_apache": 2, "sink_syslog": 1}
+
+
+def test_cli_tail_dedup_store(spark, tmp_path, capsys):
+    """--dedup-store: duplicate lines (in-batch and across polls, e.g. a
+    rotated copy re-globbed whole) ship exactly once; an all-duplicates
+    poll advances offsets without publishing an empty run."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    store = str(tmp_path / "sigstore")
+    out = str(tmp_path / "out")
+    (d / "a.log").write_bytes(b"dup line\nunique a\n")
+
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "dd", "--dedup-store", store,
+    ])
+    assert rc == 0
+    p1 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert p1[0]["new_lines"] == 2 and p1[0]["dup_lines"] == 0
+    assert p1[0]["sinks_committed"]
+
+    # a "rotated copy" appears: one already-shipped line + a new line
+    # duplicated within the batch -> only ONE new row ships
+    (d / "b.log").write_bytes(b"dup line\nunique b\nunique b\n")
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "dd", "--dedup-store", store,
+    ])
+    assert rc == 0
+    p2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert p2[0]["new_lines"] == 3 and p2[0]["dup_lines"] == 2
+    assert p2[0]["rows_staged"] == 1
+
+    # an all-duplicates file: offsets advance, nothing publishes
+    (d / "c.log").write_bytes(b"dup line\nunique a\n")
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "dd", "--dedup-store", store,
+    ])
+    assert rc == 0
+    p3 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert p3[0]["new_lines"] == 2 and p3[0]["dup_lines"] == 2
+    assert "run_id" not in p3[0]  # no publish happened
+
+    # and the skipped content does NOT come back on the next poll
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "dd", "--dedup-store", store,
+    ])
+    p4 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and p4[0]["new_lines"] == 0
+
+    # exactly 3 distinct line-contents published across all polls
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet("
+        f"'{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
+    ).fetchone()[0]
+    assert n == 3
