@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "cms_counts",
     "hll_shingles",
     "meter_rates",
+    "aggregate_correlate",
+    "incremental_dedup",
 ]
 
 
