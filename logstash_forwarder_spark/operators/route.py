@@ -58,3 +58,39 @@ def route_stage(
 
 def sink_names(rules: list[tuple[int, str, str]]) -> list[str]:
     return sorted({sink for _, _, sink in rules})
+
+
+def es_bulk_stage(
+    df: DataFrame,
+    index_col: str | Column,
+    id_col: str,
+    doc_cols: list[str],
+    dest: str = "bulk",
+) -> DataFrame:
+    """Elasticsearch bulk-API framing — the wire format the forwarder's
+    events ultimately reach (forwarder → logstash → ES ``_bulk``; the
+    reference's README positions it exactly there). Each row becomes the
+    action+source line pair::
+
+        {"index":{"_index":"<idx>","_id":"<id>"}}
+        {<doc json>}
+
+    The source line is compact ``to_json`` with ``ignoreNullFields=false``
+    (proper string escaping, ``"k":null`` preserved — logstash semantics);
+    the action line is a plain concat (its fields are caller-controlled
+    identifiers, never free text). One codegen'd row-local Project, zero
+    shuffle at any scale; a whole POST body for a micro-batch partition is
+    just ``array_join(collect_list(bulk), '\\n')`` downstream.
+    """
+    idx = F.col(index_col) if isinstance(index_col, str) else index_col
+    action = F.concat(
+        F.lit('{"index":{"_index":"'),
+        idx,
+        F.lit('","_id":"'),
+        F.col(id_col).cast("string"),
+        F.lit('"}}'),
+    )
+    source = F.to_json(
+        F.struct(*[F.col(c) for c in doc_cols]), {"ignoreNullFields": "false"}
+    )
+    return df.withColumn(dest, F.concat(action, F.lit("\n"), source))

@@ -4168,6 +4168,79 @@ LEFT JOIN st ON st.doc_id = wo.doc_id
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (operators/lm.py — the
+    CCNet/Gopher curation signal): an MLE bigram model is trained on the
+    corpus itself (two vocab-sized hash-aggs over a row-locally built
+    bigram relation), then every document is scored by how well the
+    model predicts it. The compared columns are the INTEGER-division
+    witness of the model counts (``(cb * 1e6) div cw`` summed per doc —
+    bit-exact on any engine); the production log-prob score is a DOUBLE
+    projection the registered query drops per the house float ban.
+    Scale shape: the model relation is realized-vocab-sized (never
+    corpus-sized); the scoring join is a bounded-key equi-join AQE
+    broadcasts at every test SF."""
+    from .operators.lm import lm_score
+
+    return lm_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "cond_ppm_sum", "mean_cond_ppm"
+    )
+
+
+SQL_LM_SCORE = r"""
+WITH ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM ws, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+sc AS (
+  SELECT bg.doc_id, cb.cb, cw.cw
+  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((cb * 1000000) // cw) AS BIGINT) AS cond_ppm_sum,
+       CAST(sum((cb * 1000000) // cw) // count(*) AS BIGINT) AS mean_cond_ppm
+FROM sc
+GROUP BY doc_id
+"""
+
+
+def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bulk-API serialization (operators/route.py es_bulk_stage —
+    the forwarder's events' actual destination format downstream of
+    logstash). Index name routes per event_type; the source document
+    carries only engine-portable scalars (BIGINT ids/cents, a formatted
+    timestamp string) so the rendered JSON is oracle-exact; value rides
+    the house _cents witness. Row-local Project, zero shuffle."""
+    from .operators.route import es_bulk_stage
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit("events-"), F.col("event_type")).alias("idx"),
+        F.col("user_id"),
+        _cents(F.col("value")).alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    out = es_bulk_stage(e, "idx", "event_id", ["user_id", "value_cents", "ts_s"])
+    return out.select("event_id", "bulk")
+
+
+SQL_ES_BULK = r"""
+SELECT event_id,
+       '{"index":{"_index":"events-' || event_type || '","_id":"'
+       || CAST(event_id AS VARCHAR) || '"}}' || chr(10)
+       || '{"user_id":' || CAST(user_id AS VARCHAR)
+       || ',"value_cents":' || CAST(floor(value * 100 + 0.5) AS BIGINT)
+       || ',"ts_s":"' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '"}' AS bulk
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4315,6 +4388,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         q_incremental_dedup_exact,
         SQL_INCREMENTAL_DEDUP_EXACT,
     ),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "es_bulk": (q_es_bulk, SQL_ES_BULK),
 }
 
 

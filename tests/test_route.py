@@ -54,3 +54,45 @@ def test_route_rejects_path_escaped_sink_names():
             compile_routes([(0, "true", bad)])
     # safe charset is accepted
     compile_routes([(0, "true", "sink_ok-1.2")])
+
+
+def test_es_bulk_framing_and_escaping(spark):
+    import json
+
+    from logstash_forwarder_spark.operators.route import es_bulk_stage
+
+    df = spark.createDataFrame(
+        [
+            (1, "logs-app", 'he said "hi"\nline2', 42),
+            (2, "logs-app", None, 7),
+        ],
+        "event_id long, idx string, msg string, n long",
+    )
+    rows = {
+        r.event_id: r.bulk
+        for r in es_bulk_stage(df, "idx", "event_id", ["msg", "n"]).collect()
+    }
+    for eid, bulk in rows.items():
+        action, source = bulk.split("\n", 1)
+        meta = json.loads(action)
+        assert meta == {"index": {"_index": "logs-app", "_id": str(eid)}}
+        doc = json.loads(source)  # quotes/newlines in msg must be escaped
+        assert list(doc) == ["msg", "n"]
+    assert json.loads(rows[1].split("\n", 1)[1])["msg"] == 'he said "hi"\nline2'
+    # ignoreNullFields=false: null survives as an explicit JSON null
+    assert json.loads(rows[2].split("\n", 1)[1])["msg"] is None
+
+
+def test_es_bulk_plan_is_shuffle_free(spark):
+    from logstash_forwarder_spark.operators.route import es_bulk_stage
+
+    df = spark.createDataFrame(
+        [(i, "ix", i * 2) for i in range(10)], "event_id long, idx string, n long"
+    )
+    plan = (
+        es_bulk_stage(df, "idx", "event_id", ["n"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
