@@ -4241,6 +4241,79 @@ FROM events
 """
 
 
+# BPE merge table for the gated query — trained by operators/bpe.py
+# train_bpe_spark on the sf0.01 documents corpus (n_merges=32,
+# min_count=2; fully deterministic, retrainable with that one call).
+# Hardcoded because the oracle SQL must embed the SAME table as
+# literals; production callers train their own via train_bpe_spark.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (operators/bpe.py — train on a word-freq
+    table, apply via a broadcast-merges mapInPandas kernel with a
+    per-task word memo; zero shuffle). Gated with a FIXED trained
+    merge table so the oracle can replay the identical single-pass
+    rank-order apply as a chain of sentinel-wrapped global string
+    replaces (an independent formulation of the same algorithm — see
+    the module docstring's equivalence proof). Compared columns:
+    word/token counts (BIGINT) and an md5 fingerprint of the full
+    token stream (word boundaries observable as ``" "`` tokens)."""
+    from .operators.bpe import bpe_encode
+
+    enc = bpe_encode(_docs(spark, sf_dir), BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "|")).alias("tokens_fp"),
+    )
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of the single-pass rank-order apply: every token is
+    wrapped as ``,tok,``; merge (a,b) is ONE global leftmost
+    ``replace(',a,,b,', ',ab,')`` (sentinels make partial-token matches
+    impossible; the shared boundary comma is preserved because each
+    token carries BOTH its own sentinels). Built from the same literal
+    table the Spark query uses."""
+    expr = (
+        "array_to_string(list_transform(regexp_extract_all(t, '.'),"
+        " c -> ',' || c || ','), '')"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             '  +', ' ', 'g')) AS t
+  FROM documents),
+enc AS (
+  SELECT doc_id, t,
+         CASE WHEN t = '' THEN []
+              ELSE string_split(trim({expr}, ','), ',,') END AS toks
+  FROM norm)
+SELECT doc_id,
+       CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS BIGINT)
+         AS n_words,
+       CAST(len(list_filter(toks, x -> x <> ' ')) AS BIGINT) AS n_tokens,
+       md5(coalesce(array_to_string(toks, '|'), '')) AS tokens_fp
+FROM enc
+"""
+
+
+SQL_BPE_ENCODE = _bpe_oracle_sql(BPE_MERGES)
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4390,6 +4463,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "es_bulk": (q_es_bulk, SQL_ES_BULK),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
 }
 
 
