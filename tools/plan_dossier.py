@@ -155,6 +155,23 @@ CLAIMS = {
         "join of batch band buckets; only batch-sized relations "
         "(signatures, window election, self-join) repartition"
     ),
+    "lm_score": (
+        "bigram relation built row-locally in the scan (arrays_zip, no "
+        "position self-join); model = two vocab-keyed hash-aggs whose "
+        "OUTPUT never scales with corpus rows; scoring join degrades "
+        "from broadcast to a word-keyed shuffle at scale (unhinted — "
+        "AQE skew-split covers hot words); one doc-keyed final agg"
+    ),
+    "es_bulk": (
+        "action+source framing is ONE codegen'd row-local Project — "
+        "ZERO shuffle, zero Python at any scale"
+    ),
+    "bpe_encode": (
+        "merge ranks ship by closure (configuration-sized); encode is a "
+        "row-local mapInPandas kernel inside the scan's stage — ZERO "
+        "shuffle; training's only distributed work is one vocab-sized "
+        "word-frequency hash-agg (not part of this query)"
+    ),
 }
 
 
