@@ -93,6 +93,20 @@ def main(argv: list[str] | None = None) -> int:
         "data as of SNAPSHOT_ID (plans/registrar.py SnapshotLog), then exit",
     )
     p.add_argument(
+        "--compact-sinks",
+        action="store_true",
+        help="maintenance: rewrite --run-id's manifest-committed sinks to "
+        "--target-mb files via an atomic manifest swap (plans/compact.py; "
+        "content-preserving, zero read downtime), then exit",
+    )
+    p.add_argument(
+        "--target-mb",
+        type=int,
+        default=128,
+        metavar="MB",
+        help="with --compact-sinks: target data-file size (default 128)",
+    )
+    p.add_argument(
         "--commit-mode",
         choices=["rename", "manifest"],
         default="rename",
@@ -127,6 +141,18 @@ def main(argv: list[str] | None = None) -> int:
 
         n = Registrar(os.path.join(args.out, "_checkpoint")).compact()
         print(json.dumps({"compacted_commit_files": n}))
+        return 0
+
+    if args.compact_sinks:
+        from .plans.compact import compact_run
+
+        if not args.run_id:
+            p.error("--compact-sinks requires --run-id")
+        spark = _get_session(args)
+        reports = compact_run(
+            spark, args.out, args.run_id, target_bytes=args.target_mb << 20
+        )
+        print(json.dumps({"run_id": args.run_id, "sinks": reports}))
         return 0
 
     if args.snapshots or args.read_as_of:

@@ -394,3 +394,44 @@ def test_cli_tail_dedup_store(spark, tmp_path, capsys):
         f"'{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
     ).fetchone()[0]
     assert n == 3
+
+
+def test_cli_compact_sinks(spark, tmp_path, capsys):
+    """--compact-sinks: manifest-committed run rewritten to fewer files
+    with identical reader-visible contents."""
+    import os
+
+    from logstash_forwarder_spark.pipeline import read_sink
+    from logstash_forwarder_spark.plans.manifest import read_manifest
+
+    out = str(tmp_path / "outc")
+    rc = main(
+        ["--gen", "2000", "--out", out, "--run-id", "k1",
+         "--commit-mode", "manifest"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    run_dir = os.path.join(out, "run_id=k1")
+    before = {
+        s: read_sink(spark, out, "k1", s).count()
+        for s in ("sink_default", "sink_syslog")
+    }
+    rc = main(["--compact-sinks", "--out", out, "--run-id", "k1"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["run_id"] == "k1"
+    rewritten = [r for r in report["sinks"] if r["rewritten"]]
+    assert rewritten and all(
+        r["files_after"] < r["files_before"] for r in rewritten
+    )
+    for s, n in before.items():
+        assert read_sink(spark, out, "k1", s).count() == n
+        m = read_manifest(run_dir, s)
+        assert len(m["files"]) >= 1
+
+    # requires --run-id
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--compact-sinks", "--out", out])
