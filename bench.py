@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "meter_rates",
     "aggregate_correlate",
     "incremental_dedup",
+    "lm_score",
+    "bpe_encode",
 ]
 
 

@@ -65,3 +65,62 @@ def multiline_assemble(
         )
         .withColumn("is_orphan", F.col("event_no") == F.lit(0))
     )
+
+
+def make_multiline_udtf(start_pattern: str = DEFAULT_START):
+    """The same fold as a Spark 4 Python UDTF — the SQL-callable
+    stateful-per-group form (`SELECT * FROM assemble(TABLE(lines)
+    PARTITION BY file ORDER BY line_no)`). Spark instantiates the class
+    per PARTITION BY group and feeds rows in ORDER BY order, calling
+    ``terminate`` at the group boundary — exactly the harvester grain
+    the relational fold partitions on, so the exchange shape is
+    identical (one hash(file) shuffle). This exists to round out the
+    §2.12 UDF surface with the one form the repo hadn't exercised:
+    arbitrary user-defined SEQUENTIAL parsers SQL users can call
+    directly. It is the slow path by construction (per-row Python);
+    :func:`multiline_assemble` is the production form — parity between
+    the two is pytest-proven on every fixture.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    start = _re.compile(start_pattern)
+
+    @udtf(
+        returnType="file string, event_no bigint, first_line bigint, "
+        "n_lines bigint, message string, is_orphan boolean"
+    )
+    class MultilineAssemble:
+        def __init__(self) -> None:
+            self._file: str | None = None
+            self._event_no = 0
+            self._first: int | None = None
+            self._lines: list[str] = []
+
+        def _flush(self):
+            if self._first is not None:
+                yield (
+                    self._file,
+                    self._event_no,
+                    self._first,
+                    len(self._lines),
+                    "\n".join(self._lines),
+                    self._event_no == 0,
+                )
+            self._first = None
+            self._lines = []
+
+        def eval(self, row):
+            if start.match(row["line"]):
+                yield from self._flush()
+                self._event_no += 1
+            self._file = row["file"]
+            if self._first is None:
+                self._first = row["line_no"]
+            self._lines.append(row["line"])
+
+        def terminate(self):
+            yield from self._flush()
+
+    return MultilineAssemble

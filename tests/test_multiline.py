@@ -68,3 +68,37 @@ def test_single_exchange_plan(spark):
     # data shuffle (the repartition(4) RoundRobin above is input prep)
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan
+
+
+def test_udtf_twin_matches_relational_fold(spark):
+    """Spark 4 Python UDTF with TABLE ... PARTITION BY ... ORDER BY:
+    per-group instance lifecycle + ordered eval reproduces the window
+    fold row-for-row (the §2.12 surface-completion form)."""
+    from logstash_forwarder_spark.operators.multiline import (
+        make_multiline_udtf,
+    )
+
+    rows = LINES + [
+        ("d.log", 1, "  lead orphan 1"),
+        ("d.log", 2, "  lead orphan 2"),
+        ("d.log", 3, "EV four"),
+        ("d.log", 4, "  tail"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.createOrReplaceTempView("ml_lines")
+    spark.udtf.register("assemble_ml", make_multiline_udtf())
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM assemble_ml(TABLE(ml_lines) "
+            "PARTITION BY file ORDER BY line_no)"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in multiline_assemble(df)
+        .select("file", "event_no", "first_line", "n_lines", "message", "is_orphan")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 6  # 4 events + b.log orphan + d.log orphan
