@@ -79,6 +79,30 @@ GROK_PATTERNS: dict[str, str] = {
 _FIELD_RE = re.compile(r"%\{(\w+)(?::(\w+))?(?::(int|float))?\}")
 
 
+def load_pattern_files(paths: list[str]) -> dict[str, str]:
+    """Logstash ``patterns_dir`` file format: one ``NAME regex`` per
+    line (first whitespace splits), ``#`` comments and blank lines
+    skipped. Later files/lines override earlier ones (logstash
+    semantics). The result feeds ``pattern_definitions`` — bodies may
+    reference library patterns and each other, same as inline
+    definitions."""
+    defs: dict[str, str] = {}
+    for path in paths:
+        with open(path, encoding="utf-8") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) != 2 or not re.fullmatch(r"\w+", parts[0]):
+                    raise ValueError(
+                        f"{path}: malformed pattern line {line!r} "
+                        "(expected 'NAME regex')"
+                    )
+                defs[parts[0]] = parts[1]
+    return defs
+
+
 def compile_grok(
     expr: str, pattern_definitions: dict[str, str] | None = None
 ) -> tuple[str, list[tuple[str, str | None]]]:

@@ -133,3 +133,39 @@ def test_grok_plan_is_shuffle_free(spark):
     g = grok_extract(df, r"%{WORD:w} %{INT:n:int}")
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local projection only
+
+
+def test_load_pattern_files(tmp_path, spark):
+    from logstash_forwarder_spark.operators.grok import (
+        compile_grok,
+        grok_extract,
+        load_pattern_files,
+    )
+
+    p1 = tmp_path / "core.patterns"
+    p1.write_text(
+        "# session ids\n"
+        "\n"
+        "SESSIONID sess-%{INT}\n"
+        "UNIT %{WORD}(?:\\.%{WORD})?\n"
+    )
+    p2 = tmp_path / "override.patterns"
+    p2.write_text("SESSIONID sid:%{POSINT}\n")  # later file wins
+
+    defs = load_pattern_files([str(p1), str(p2)])
+    assert defs["SESSIONID"] == "sid:%{POSINT}"
+    rx, fields = compile_grok("%{SESSIONID:sid} %{UNIT:unit}", defs)
+    assert [f for f, _ in fields] == ["sid", "unit"]
+
+    df = spark.createDataFrame(
+        [(1, "sid:42 api.auth ok")], "id long, line string"
+    )
+    row = grok_extract(
+        df, "%{SESSIONID:sid} %{UNIT:unit}", pattern_definitions=defs
+    ).first()
+    assert (row.sid, row.unit) == ("sid:42", "api.auth")
+
+    bad = tmp_path / "bad.patterns"
+    bad.write_text("NOT-A-NAME body\n")
+    with pytest.raises(ValueError, match="malformed pattern line"):
+        load_pattern_files([str(bad)])
