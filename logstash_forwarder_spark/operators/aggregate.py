@@ -77,3 +77,41 @@ def sink_source_counts(
 def last_offset_per_source(df: DataFrame, offset_col: str = "doc_id") -> DataFrame:
     """O-A1 verbatim: registrar's max-by fold (registrar.go:12-29)."""
     return df.groupBy("source").agg(F.max(offset_col).alias("last_offset"))
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    target_rows: int = 1_000_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic — the measurement half of "skew handled
+    explicitly": per hottest key, its row count, corpus share (ppm,
+    integer-exact) and the SALT BUCKET COUNT that bounds any single
+    (key, salt) group to ≤ ``target_rows`` rows — i.e. exactly the
+    ``salt_buckets`` argument :func:`salted_agg` needs for that key's
+    aggregation to never overload one reducer.
+
+    Scale shape: ONE map-side-combinable hash-agg to the key domain;
+    the grand total comes from a second 1-row agg broadcast back onto
+    the domain relation (never an unpartitioned window over it — the
+    domain can be large for high-cardinality keys); top-k is a
+    TakeOrdered, deterministic under ties (key ASC tiebreak)."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+            F.expr(f"(n_rows + {target_rows - 1}) div {target_rows}").alias(
+                "salt_buckets"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_k)
+    )

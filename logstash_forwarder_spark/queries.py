@@ -4314,6 +4314,34 @@ FROM enc
 SQL_BPE_ENCODE = _bpe_oracle_sql(BPE_MERGES)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/aggregate.py skew_report): per
+    hottest event_type, row count, integer-ppm corpus share, and the
+    salt bucket count that bounds any (key, salt) group to the target —
+    the measurement that feeds salted_agg's bucket choice. One hash-agg
+    to the key domain + a broadcast 1-row total; TakeOrdered top-k."""
+    from .operators.aggregate import skew_report
+
+    return skew_report(
+        _events(spark, sf_dir), "event_type", target_rows=500, top_k=10
+    )
+
+
+SQL_SKEW_REPORT = r"""
+WITH c AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n_rows + 499) // 500 AS BIGINT) AS salt_buckets
+FROM c, t
+ORDER BY n_rows DESC, key
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4464,6 +4492,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "es_bulk": (q_es_bulk, SQL_ES_BULK),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
 }
 
 
