@@ -60,6 +60,13 @@ class PipelineSpec:
     # — no directory renames anywhere, the object-store-safe protocol
     # (plans/manifest.py).
     commit_mode: str = "rename"
+    # write-time sorted layout (plans/layout.py at the ship surface):
+    # range-partition each sink's rows by this column and sort within
+    # partitions before staging, so parquet row-group/file min-max
+    # envelopes prune selective range scans downstream. Costs ONE range
+    # exchange at publish (the documented layout tradeoff); lineage is
+    # unaffected (part_id rides the rows).
+    sort_col: str | None = None
     # test-only fault injection: raise after N successful sink commits
     fail_after_sinks: int | None = None
 
@@ -106,6 +113,10 @@ def run_pipeline(
         # exclude already-committed sinks before the (expensive) staging pass
         if done:
             routed = routed.filter(~F.col("sink").isin(sorted(done)))
+        if spec.sort_col:
+            routed = routed.repartitionByRange(
+                "sink", spec.sort_col
+            ).sortWithinPartitions("sink", spec.sort_col)
 
         if spec.commit_mode == "manifest":
             # -- rename-free protocol (plans/manifest.py): GC unreferenced

@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
         help="with --compact-sinks: target data-file size (default 128)",
     )
     p.add_argument(
+        "--sort-by",
+        metavar="COL",
+        help="write-time sorted layout: range-partition + sort each sink's "
+        "rows by COL before staging so parquet min-max envelopes prune "
+        "selective scans (plans/layout.py at the ship surface; one range "
+        "exchange at publish)",
+    )
+    p.add_argument(
         "--commit-mode",
         choices=["rename", "manifest"],
         default="rename",
@@ -217,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
     spec_kwargs = {"out_dir": args.out, "commit_mode": args.commit_mode}
     if args.run_id:
         spec_kwargs["run_id"] = args.run_id
+    if args.sort_by:
+        spec_kwargs["sort_col"] = args.sort_by
     if dim is None:
         dim = gen_source_dim(spark)
     res = run_pipeline(spark, seqs, dim, PipelineSpec(**spec_kwargs))

@@ -51,3 +51,42 @@ def test_scan_output_rows_guards(spark):
         scan_output_rows(df)
     with pytest.raises(ValueError):
         write_sorted(spark.range(1), "/tmp/never", sort_cols=[])
+
+
+def test_pipeline_sort_col_prunes_published_scans(spark, tmp_path):
+    """PipelineSpec.sort_col: the sorted layout at the SHIP surface —
+    a selective n_tok range read over the published run materializes
+    far fewer rows than the unsorted publish of the same data."""
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.datagen import gen_sequences, gen_source_dim
+    from logstash_forwarder_spark.pipeline import (
+        PipelineSpec,
+        read_sink,
+        run_pipeline,
+    )
+    from logstash_forwarder_spark.plans.layout import scan_output_rows
+
+    seqs = gen_sequences(spark, 40_000).repartition(8)
+    dim = gen_source_dim(spark)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=out, run_id="plain"))
+    run_pipeline(
+        spark,
+        seqs,
+        dim,
+        PipelineSpec(out_dir=out, run_id="sorted", sort_col="n_tok"),
+    )
+
+    # collect-then-read-metrics (the executed-plan clone gotcha)
+    def scanned(run_id: str) -> tuple[int, int]:
+        df = read_sink(spark, out, run_id, "sink_syslog").where(
+            (F.col("n_tok") >= 100) & (F.col("n_tok") < 110)
+        )
+        rows = df.collect()
+        return len(rows), scan_output_rows(df)
+
+    n_plain, scan_plain = scanned("plain")
+    n_sorted, scan_sorted = scanned("sorted")
+    assert n_plain == n_sorted > 0  # identical query results
+    assert scan_sorted * 3 <= scan_plain, (scan_sorted, scan_plain)
