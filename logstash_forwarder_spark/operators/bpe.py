@@ -53,17 +53,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# normalization shared by train + encode + oracle: lowercase, strip to
-# [a-z0-9 ], collapse whitespace runs, trim. Deliberately ASCII-closed so
-# the word charset can never collide with encoding sentinels and both
-# engines agree char-for-char.
+# normalization shared by train + encode + oracle: lowercase, ALL
+# whitespace to single spaces FIRST (tabs/newlines are word boundaries —
+# stripping them as punctuation would fuse adjacent words), then strip
+# to [a-z0-9 ], collapse the space runs stripping opens up, trim.
+# Deliberately ASCII-closed so the word charset can never collide with
+# encoding sentinels and both engines agree char-for-char.
 _STRIP_RE = r"[^a-z0-9 ]"
-_WS_RE = r"  +"
+_WS_RE = r"\s+"
 
 
 def normalize_text(col: Column) -> Column:
-    t = F.regexp_replace(F.lower(col), _STRIP_RE, "")
-    return F.trim(F.regexp_replace(t, _WS_RE, " "))
+    t = F.regexp_replace(F.lower(col), _WS_RE, " ")
+    t = F.regexp_replace(t, _STRIP_RE, "")
+    return F.trim(F.regexp_replace(t, "  +", " "))
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:

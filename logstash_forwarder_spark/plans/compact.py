@@ -41,6 +41,13 @@ are identical.
 Reference analog: the spooler's "flush small batches, let downstream
 consolidate" contract (spooler.go's size/timeout flush); this is the
 consolidation half the forwarder leaves to its receiver.
+
+Deliberate boundary: compaction is PER RUN. Merging many tail-poll runs
+into one consolidated run would erase run_id — the exactly-once replay
+identity the registrar keys resume, lineage, and snapshot history on —
+so cross-run consolidation is out by design; the per-poll runs are
+already one file each, and a reader aggregating across runs pays one
+LIST per run dir, not per file.
 """
 
 from __future__ import annotations

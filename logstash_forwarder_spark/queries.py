@@ -4294,8 +4294,10 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
     return f"""
 WITH norm AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                             '  +', ' ', 'g')) AS t
+         trim(regexp_replace(regexp_replace(
+                regexp_replace(lower(text), '\s+', ' ', 'g'),
+                '[^a-z0-9 ]', '', 'g'),
+              '  +', ' ', 'g')) AS t
   FROM documents),
 enc AS (
   SELECT doc_id, t,

@@ -472,6 +472,7 @@ def _tail_loop(spark, args) -> int:
                         out_dir=args.out,
                         run_id=f"{base}-p{poll_no}-{fp}",
                         commit_mode=args.commit_mode,
+                        sort_col=args.sort_by,
                     ),
                 )
                 rec.update(

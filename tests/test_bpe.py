@@ -29,7 +29,8 @@ def _replace_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def _normalize(text: str) -> str:
-    return re.sub(r"  +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    t = re.sub(r"\s+", " ", text.lower())
+    return re.sub(r"  +", " ", re.sub(r"[^a-z0-9 ]", "", t)).strip()
 
 
 def test_train_hand_case_deterministic():
@@ -130,3 +131,13 @@ def test_bpe_encode_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_normalization_keeps_whitespace_as_boundaries(spark):
+    # tabs/newlines are word BOUNDARIES, not punctuation to strip —
+    # "join\thash" must stay two words (self-review catch, r5)
+    df = spark.createDataFrame(
+        [(1, "join\thash\nscan")], "doc_id long, text string"
+    )
+    wf = {r.word: r.n for r in word_frequencies(df).collect()}
+    assert wf == {"join": 1, "hash": 1, "scan": 1}
