@@ -300,3 +300,54 @@ def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> Data
     if not sources:
         raise ValueError(f"sink {sink!r} has no published data in {run_dir}")
     return spark.read.option("basePath", run_dir).parquet(*sources)
+
+
+def read_table(
+    spark: SparkSession, out_dir: str, sinks: list[str] | None = None
+) -> DataFrame:
+    """The whole output table — every run, commit-protocol-aware.
+
+    A bare ``run_id=*/sink=*`` glob is WRONG for manifest-mode output:
+    data files are written in place before the manifest commit, so the
+    glob can see a crashed attempt's uncommitted orphans (and, after a
+    compaction crash, superseded originals). This reader resolves each
+    run's sinks the way read_sink does — manifest-listed files when a
+    manifest exists, the directory otherwise (rename mode, where
+    publish IS the atomic move) — and keeps both hive partition columns
+    (``run_id``, ``sink``) via basePath. This is the consumer surface
+    for the tail daemon's many per-poll runs."""
+    run_dirs = sorted(
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("run_id=")
+        and os.path.isdir(os.path.join(out_dir, d))
+    )
+    from .plans.manifest import MANIFEST_DIR, resolve_sink_files
+
+    sources: list[str] = []
+    for rd in run_dirs:
+        run_dir = os.path.join(out_dir, rd)
+        run_sinks = sinks
+        if run_sinks is None:
+            run_sinks = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(run_dir)
+                if d.startswith("sink=")
+            )
+        manifest_mode = os.path.isdir(os.path.join(run_dir, MANIFEST_DIR))
+        for s in run_sinks:
+            files = resolve_sink_files(run_dir, s)
+            if files is not None:
+                sources.extend(files)
+            elif manifest_mode:
+                # a manifest-mode run whose sink has NO manifest: the
+                # commit never happened — its directory holds only a
+                # crashed attempt's orphans. Skip, never fall back.
+                continue
+            else:
+                d = os.path.join(run_dir, f"sink={s}")
+                if os.path.isdir(d):
+                    sources.append(d)
+    if not sources:
+        raise ValueError(f"no published data under {out_dir}")
+    return spark.read.option("basePath", out_dir).parquet(*sources)

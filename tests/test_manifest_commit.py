@@ -183,3 +183,47 @@ def test_manifest_empty_sinks(spark, tmp_out, no_dir_rename):
             read_sink(spark, tmp_out, "me", s)
     res2 = run_pipeline(spark, seqs, dim, _spec(tmp_out, "me"))
     assert res2.sinks_committed == [] and len(res2.sinks_skipped) == 4
+
+
+def test_read_table_skips_uncommitted_orphans(spark, tmp_out, no_dir_rename):
+    """read_table: the cross-run consumer surface. A bare run_id=*/sink=*
+    glob would see a crashed manifest-mode attempt's in-place data files;
+    read_table resolves through manifests and must not."""
+    import glob as globmod
+
+    from logstash_forwarder_spark.pipeline import read_table
+
+    seqs = gen_sequences(spark, N)
+    dim = gen_source_dim(spark)
+    run_pipeline(spark, seqs, dim, _spec(tmp_out, "t1"))
+    # second run crashes after 2 of 4 sink commits: the remaining sinks
+    # have in-place data files but no manifest
+    with pytest.raises(InjectedFailure):
+        run_pipeline(
+            spark, seqs, dim, _spec(tmp_out, "t2", fail_after_sinks=2)
+        )
+
+    df = read_table(spark, tmp_out).select("run_id", "sink", "doc_id")
+    per_run = {
+        r.run_id: r.n
+        for r in df.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_run["t1"] == N
+    # t2 contributes ONLY its two committed sinks
+    committed_rows = per_run.get("t2", 0)
+    assert 0 < committed_rows < N
+    # while the raw glob DOES see the orphans (the hazard being guarded)
+    raw_files = globmod.glob(
+        os.path.join(tmp_out, "run_id=t2", "sink=*", "*.parquet")
+    )
+    raw_rows = (
+        spark.read.option("basePath", tmp_out).parquet(*raw_files).count()
+    )
+    assert raw_rows == N  # all four sinks' bytes are on disk
+    # resuming t2 completes it; read_table then sees everything exactly once
+    run_pipeline(spark, seqs, dim, _spec(tmp_out, "t2"))
+    df2 = read_table(spark, tmp_out)
+    assert df2.where(F.col("run_id") == "t2").count() == N
+    assert (
+        df2.groupBy("run_id", "doc_id").count().where("count > 1").count() == 0
+    )
