@@ -172,6 +172,11 @@ CLAIMS = {
         "shuffle; training's only distributed work is one vocab-sized "
         "word-frequency hash-agg (not part of this query)"
     ),
+    "skew_report": (
+        "ONE map-side-combinable hash-agg to the key domain; grand "
+        "total is a 1-row broadcast back onto the domain (no "
+        "unpartitioned window); top-k is a TakeOrdered"
+    ),
 }
 
 
