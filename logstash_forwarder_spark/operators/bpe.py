@@ -81,30 +81,42 @@ def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
 def train_bpe(
     freq: dict[str, int], n_merges: int, min_count: int = 1
 ) -> list[tuple[str, str]]:
-    """Sennrich training over a word-frequency dict: each round counts
-    adjacent token pairs weighted by word frequency, fuses the most
-    frequent pair everywhere (tie-break: lexicographically smallest
-    pair, so training is fully deterministic). Touches only the
-    frequency table — never documents."""
+    """Sennrich training over a word-frequency dict: each round fuses
+    the most frequent adjacent token pair everywhere (tie-break:
+    lexicographically smallest pair, so training is fully
+    deterministic). Touches only the frequency table — never documents
+    — and maintains pair counts INCREMENTALLY (a pair→words inverted
+    index; each round re-tokenizes only the words containing the chosen
+    pair), so a round costs O(affected words), not O(vocab): the shape
+    that holds at a realistic million-word table."""
     vocab: dict[str, list[str]] = {
         w: list(w) for w, c in freq.items() if c >= min_count and len(w) >= 2
     }
     counts = {w: freq[w] for w in vocab}
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[str]] = {}
+
+    def account(w: str, sign: int) -> None:
+        toks, c = vocab[w], counts[w] * sign
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            pairs[p] = pairs.get(p, 0) + c
+            if sign > 0:
+                where.setdefault(p, set()).add(w)
+
+    for w in vocab:
+        account(w, +1)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for w, toks in vocab.items():
-            c = counts[w]
-            for i in range(len(toks) - 1):
-                p = (toks[i], toks[i + 1])
-                pairs[p] = pairs.get(p, 0) + c
-        if not pairs:
+        live = {p: n for p, n in pairs.items() if n > 0}
+        if not live:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(live.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        for w, toks in vocab.items():
-            if best[0] + best[1] in w:
-                vocab[w] = _merge_pass(toks, best[0], best[1])
+        for w in sorted(where.get(best, ())):
+            account(w, -1)
+            vocab[w] = _merge_pass(vocab[w], best[0], best[1])
+            account(w, +1)
     return merges
 
 
