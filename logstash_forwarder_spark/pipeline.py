@@ -67,6 +67,11 @@ class PipelineSpec:
     # exchange at publish (the documented layout tradeoff); lineage is
     # unaffected (part_id rides the rows).
     sort_col: str | None = None
+    # with sort_col: explicit range-partition count. None lets the
+    # session's shuffle width (and AQE coalescing) pick — fine at scale,
+    # but AQE coalescing small runs into few large files WEAKENS zone-map
+    # pruning; set explicitly when file granularity is the point.
+    sort_partitions: int | None = None
     # test-only fault injection: raise after N successful sink commits
     fail_after_sinks: int | None = None
 
@@ -114,9 +119,14 @@ def run_pipeline(
         if done:
             routed = routed.filter(~F.col("sink").isin(sorted(done)))
         if spec.sort_col:
-            routed = routed.repartitionByRange(
-                "sink", spec.sort_col
-            ).sortWithinPartitions("sink", spec.sort_col)
+            range_args = ("sink", spec.sort_col)
+            if spec.sort_partitions:
+                routed = routed.repartitionByRange(
+                    spec.sort_partitions, *range_args
+                )
+            else:
+                routed = routed.repartitionByRange(*range_args)
+            routed = routed.sortWithinPartitions(*range_args)
 
         if spec.commit_mode == "manifest":
             # -- rename-free protocol (plans/manifest.py): GC unreferenced

@@ -71,11 +71,16 @@ def test_pipeline_sort_col_prunes_published_scans(spark, tmp_path):
     dim = gen_source_dim(spark)
     out = str(tmp_path / "out")
     run_pipeline(spark, seqs, dim, PipelineSpec(out_dir=out, run_id="plain"))
+    # explicit sort_partitions: AQE would otherwise coalesce this small
+    # run's range shuffle into few large files and weaken the pruning
+    # this test measures (file granularity IS the point here)
     run_pipeline(
         spark,
         seqs,
         dim,
-        PipelineSpec(out_dir=out, run_id="sorted", sort_col="n_tok"),
+        PipelineSpec(
+            out_dir=out, run_id="sorted", sort_col="n_tok", sort_partitions=16
+        ),
     )
 
     # collect-then-read-metrics (the executed-plan clone gotcha)
