@@ -95,6 +95,8 @@ def compact_sink(
     run_dir: str,
     sink: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    row_group_bytes: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite one committed sink to ≈``target_bytes`` files (module
     docstring has the full protocol). Returns an action report; a no-op
@@ -125,8 +127,20 @@ def compact_sink(
     # 2. narrow rewrite — no shuffle; data-file schema excludes the
     # `sink` partition column (it lives in the directory name), so the
     # rewrite reads the bare files and writes the same schema back.
+    # For a SORTED layout (PipelineSpec.sort_col), pass the same
+    # sort_cols + a row_group_bytes cap: Spark bin-packs input splits by
+    # SIZE (not name), so merged order is otherwise arbitrary — the
+    # narrow sortWithinPartitions restores in-file order, and capped row
+    # groups keep zone-map pruning working INSIDE the bigger files
+    # (file-level min-max alone coarsens to useless at n_out=1).
     tmp = os.path.join(run_dir, f"_compact_tmp-{uuid.uuid4().hex}")
-    spark.read.parquet(*old_abs).coalesce(n_out).write.parquet(tmp)
+    df = spark.read.parquet(*old_abs).coalesce(n_out)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(tmp)
 
     # 3. single-file moves into place under fresh unique names
     token = uuid.uuid4().hex[:12]

@@ -148,3 +148,51 @@ def test_compact_requires_manifest_mode(spark, tmp_out):
         compact_sink(spark, run_dir, "sink_default")
     with pytest.raises(ValueError, match="nothing to compact"):
         compact_run(spark, tmp_out, "r1")
+
+
+def test_compact_composes_with_sorted_layout(spark, tmp_out, no_dir_rename):
+    """Compacting a sorted publish down to ONE file keeps zone-map
+    pruning working when the rewrite re-sorts and caps row groups —
+    and the test shows the knobs are necessary, not decorative."""
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.plans.layout import scan_output_rows
+
+    seqs = gen_sequences(spark, 40_000).repartition(8)
+    dim = gen_source_dim(spark)
+    run_pipeline(
+        spark,
+        seqs,
+        dim,
+        PipelineSpec(
+            out_dir=tmp_out,
+            run_id="s1",
+            commit_mode="manifest",
+            sort_col="n_tok",
+            sort_partitions=16,
+        ),
+    )
+    run_dir = os.path.join(tmp_out, "run_id=s1")
+
+    def scanned() -> tuple[int, int]:
+        df = read_sink(spark, tmp_out, "s1", "sink_syslog").where(
+            (F.col("n_tok") >= 100) & (F.col("n_tok") < 110)
+        )
+        rows = df.collect()
+        return len(rows), scan_output_rows(df)
+
+    n_before, scan_before = scanned()
+    total = read_sink(spark, tmp_out, "s1", "sink_syslog").count()
+
+    rep = compact_sink(
+        spark,
+        run_dir,
+        "sink_syslog",
+        row_group_bytes=64 * 1024,
+        sort_cols=["n_tok"],
+    )
+    assert rep["rewritten"] and rep["files_after"] == 1
+    n_after, scan_after = scanned()
+    assert n_after == n_before > 0
+    # pruning survives the merge: far fewer rows than the full sink
+    assert scan_after * 3 <= total, (scan_after, total)
