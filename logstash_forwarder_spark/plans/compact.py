@@ -179,6 +179,8 @@ def compact_run(
     out_dir: str,
     run_id: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    row_group_bytes: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> list[dict]:
     """Compact every manifest-committed sink of a run."""
     from .manifest import MANIFEST_DIR
@@ -192,7 +194,17 @@ def compact_run(
         for f in os.listdir(mdir)
         if f.startswith("sink=") and f.endswith(".json")
     )
-    return [compact_sink(spark, run_dir, s, target_bytes) for s in sinks]
+    return [
+        compact_sink(
+            spark,
+            run_dir,
+            s,
+            target_bytes,
+            row_group_bytes=row_group_bytes,
+            sort_cols=sort_cols,
+        )
+        for s in sinks
+    ]
 
 
 def _rm_tmp(tmp: str) -> None:

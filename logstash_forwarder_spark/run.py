@@ -158,7 +158,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--compact-sinks requires --run-id")
         spark = _get_session(args)
         reports = compact_run(
-            spark, args.out, args.run_id, target_bytes=args.target_mb << 20
+            spark,
+            args.out,
+            args.run_id,
+            target_bytes=args.target_mb << 20,
+            # with --sort-by: keep the sorted layout (and its zone-map
+            # pruning) alive across the merge
+            row_group_bytes=(1 << 20) if args.sort_by else None,
+            sort_cols=[args.sort_by] if args.sort_by else None,
         )
         print(json.dumps({"run_id": args.run_id, "sinks": reports}))
         return 0
