@@ -249,6 +249,42 @@ def hll_registers(
     )
 
 
+def hll_registers_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    m: int = 64,
+    coeff: tuple[int, int] = HLL_COEFF,
+) -> DataFrame:
+    """Grouped HLL: one register relation PER GROUP — ≤ m rows ×
+    |groups| total, from ONE (group, register) hash-agg with map-side
+    combine. The per-source vocabulary-growth monitor: distinct-count
+    per source without a per-source distinct shuffle anywhere. Same
+    portable rank arithmetic as :func:`hll_registers`, so the oracle
+    rebuilds every register; estimate per group by feeding each group's
+    rows to :func:`hll_estimate`."""
+    if m & (m - 1):
+        raise ValueError("hll_registers_by: m must be a power of two")
+    a, b = coeff
+    maxbits = (P // m).bit_length()
+    df = df.filter(F.col(key_col).isNotNull())
+    h2 = (F.pmod(F.col(key_col), F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
+    w = F.shiftright(h2, m.bit_length() - 1)
+    rank = F.when(w == 0, F.lit(maxbits + 1)).otherwise(
+        F.lit(maxbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h2 % m).cast("long").alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rank").cast("long").alias("max_rank"))
+    )
+
+
 def hll_estimate(rows: list, m: int = 64) -> float:
     """Fold the ≤ m (register, max_rank) rows into the HLL cardinality
     estimate (with the standard small-range linear-counting correction).

@@ -3150,7 +3150,9 @@ LIMIT 50
 """
 
 
-def _portable_shingle_hashes_raw(docs: DataFrame) -> DataFrame:
+def _portable_shingle_hashes_raw(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Every-occurrence (doc_id, h) word-3-gram hashes with the PORTABLE
     hash of the minhash witness (md5 first-15-hex mod P) — computed
     entirely JVM-side: split → transform/sequence 3-gram → md5 →
@@ -3160,6 +3162,7 @@ def _portable_shingle_hashes_raw(docs: DataFrame) -> DataFrame:
     (operators/dedup.py)."""
     w = docs.select(
         "doc_id",
+        *keep,
         F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ").alias(
             "w"
         ),
@@ -3168,6 +3171,7 @@ def _portable_shingle_hashes_raw(docs: DataFrame) -> DataFrame:
     # size >= 3 guards the descending-sequence trap (CLAUDE.md)
     grams = w.select(
         "doc_id",
+        *keep,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(w) - 2),"
@@ -3179,6 +3183,7 @@ def _portable_shingle_hashes_raw(docs: DataFrame) -> DataFrame:
 
     return grams.select(
         "doc_id",
+        *keep,
         (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _P)
         .alias("h"),
     )
@@ -4344,6 +4349,43 @@ LIMIT 10
 """
 
 
+def q_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (operators/sketch.py hll_registers_by): one register
+    relation PER SOURCE — the per-source vocabulary-growth monitor,
+    ≤ m × |sources| rows from ONE (source, register) hash-agg with
+    map-side combine and no distinct shuffle anywhere. Same portable
+    bin()-rank arithmetic as hll_shingles, so the oracle rebuilds every
+    register per group."""
+    from .operators.sketch import hll_registers_by
+
+    hs = _portable_shingle_hashes_raw(_docs(spark, sf_dir), keep=("source",))
+    return hll_registers_by(hs, "source", "h", m=64).select(
+        F.col("grp").alias("source"), "register", "max_rank"
+    )
+
+
+SQL_HLL_BY_SOURCE = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+h2 AS (
+  SELECT source,
+         ((('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1073741789)
+          * 2029 + 64763) % 1073741789 AS h2
+  FROM sh)
+SELECT source,
+       CAST(h2 % 64 AS BIGINT) AS register,
+       CAST(max(CASE WHEN h2 // 64 = 0 THEN 25
+                     ELSE 25 - length(bin(h2 // 64)) END) AS BIGINT) AS max_rank
+FROM h2 GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4495,6 +4537,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "es_bulk": (q_es_bulk, SQL_ES_BULK),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
 }
 
 
