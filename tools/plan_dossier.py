@@ -177,6 +177,12 @@ CLAIMS = {
         "total is a 1-row broadcast back onto the domain (no "
         "unpartitioned window); top-k is a TakeOrdered"
     ),
+    "hll_by_source": (
+        "source rides THROUGH the row-local shingle relation (keep= "
+        "passthrough, no doc-sized join); ONE (source, register) "
+        "hash-agg with map-side combine — output bounded by m x "
+        "|sources| at any corpus scale"
+    ),
 }
 
 
