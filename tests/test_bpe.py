@@ -141,3 +141,31 @@ def test_normalization_keeps_whitespace_as_boundaries(spark):
     )
     wf = {r.word: r.n for r in word_frequencies(df).collect()}
     assert wf == {"join": 1, "hash": 1, "scan": 1}
+
+
+def test_encode_word_hypothesis_roundtrip():
+    """Arbitrary lowercase-alnum words, arbitrary trained tables:
+    single-pass apply equals the replace-chain formulation and tokens
+    always concatenate back to the word."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word_st = st.text(alphabet="ab1", max_size=16)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(word_st, min_size=1, max_size=40), word_st)
+    def check(corpus, probe):
+        freq = {}
+        for w in corpus:
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+        merges = train_bpe(freq, 24)
+        validate_merges(merges)
+        for w in set(corpus) | {probe}:
+            if not w:
+                continue
+            got = encode_word(w, merges)
+            assert "".join(got) == w
+            assert got == _replace_reference(w, merges)
+
+    check()

@@ -96,3 +96,38 @@ def test_es_bulk_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_es_bulk_hypothesis_json_escaping(spark):
+    """Arbitrary unicode payloads survive the bulk framing: the source
+    line parses back to exactly the input via json.loads."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logstash_forwarder_spark.operators.route import es_bulk_stage
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(max_size=40).filter(lambda s: "\x00" not in s),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(msgs):
+        df = spark.createDataFrame(
+            [(i, "ix", m) for i, m in enumerate(msgs)],
+            "event_id long, idx string, msg string",
+        )
+        rows = {
+            r.event_id: r.bulk
+            for r in es_bulk_stage(df, "idx", "event_id", ["msg"]).collect()
+        }
+        for i, m in enumerate(msgs):
+            action, source = rows[i].split("\n", 1)
+            assert json.loads(action)["index"]["_id"] == str(i)
+            assert json.loads(source)["msg"] == m
+
+    check()
