@@ -193,3 +193,59 @@ def shift_labels(
         F.slice(t, F.lit(2), pair_len).alias("labels"),
         pair_len.cast("long").alias("pair_len"),
     )
+
+
+def shard_column(key_col: str, n_shards: int) -> F.Column:
+    """Deterministic, engine-portable shard assignment: md5 of the key's
+    string form (first 15 hex digits) mod n_shards — seedless-stable
+    across reruns, cluster sizes, and partitionings (the same idiom as
+    the stratified sampler), uniform regardless of key skew because the
+    hash, not the key distribution, balances the shards."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % n_shards
+    ).alias("shard")
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The shard manifest a training job consumes: per shard, its row
+    count (and optional weight total, e.g. tokens). ONE n_shards-row
+    hash-agg with map-side combine — the balance report for the export
+    below, oracle-exact on any engine."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(
+            F.coalesce(F.sum(weight_col), F.lit(0)).cast("long").alias("weight_total")
+        )
+    return (
+        df.select(shard_column(key_col, n_shards), *([weight_col] if weight_col else []))
+        .groupBy("shard")
+        .agg(*aggs)
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> None:
+    """Materialize the training shards: one directory per shard
+    (``shard=N/``), rows routed by the same deterministic hash as
+    :func:`shard_plan`, repartitioned BY the shard column so each shard
+    writes as one coherent file set (one exchange — the export's only
+    shuffle). Readers get the shard column back via hive partitioning
+    with ``basePath``."""
+    (
+        df.withColumn("shard", shard_column(key_col, n_shards))
+        .repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .parquet(path)
+    )

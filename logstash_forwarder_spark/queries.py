@@ -4386,6 +4386,29 @@ FROM h2 GROUP BY 1, 2
 """
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators/pack.py shard_plan — the
+    export stage's balance report): rows and char-weight per shard
+    under the deterministic portable md5 assignment (seedless-stable
+    across reruns/cluster sizes, uniform regardless of key skew). ONE
+    n_shards-row hash-agg with map-side combine."""
+    from .operators.pack import shard_plan
+
+    return shard_plan(
+        _docs(spark, sf_dir), 16, key_col="doc_id", weight_col="n_chars"
+    )
+
+
+SQL_SHARD_PLAN = r"""
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+            AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_total
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4538,6 +4561,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
 }
 
 

@@ -235,3 +235,44 @@ def test_assemble_packs_drops_zero_token_rows(spark):
     assert out[("s", 0)].n_docs == 2  # empty docs not counted
     assert out[("s", 1)].packed == ["f"]
     assert len(out) == 2
+
+
+def test_shard_plan_balance_and_determinism(spark):
+    from logstash_forwarder_spark.operators.pack import shard_plan
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) * 10) for i in range(8_000)], "doc_id long, w long"
+    )
+    plan = {r.shard: (r.n_rows, r.weight_total) for r in
+            shard_plan(df, 16, weight_col="w").collect()}
+    assert set(plan) == set(range(16))
+    sizes = [n for n, _ in plan.values()]
+    assert max(sizes) <= 1.3 * min(sizes)  # hash-uniform balance
+    assert sum(sizes) == 8_000
+    # parallelism-invariant: same plan from a different partitioning
+    plan2 = {r.shard: (r.n_rows, r.weight_total) for r in
+             shard_plan(df.repartition(3), 16, weight_col="w").collect()}
+    assert plan2 == plan
+
+
+def test_export_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from logstash_forwarder_spark.operators.pack import export_shards, shard_plan
+
+    df = spark.createDataFrame(
+        [(i, i * 3) for i in range(2_000)], "doc_id long, w long"
+    )
+    path = str(tmp_path / "shards")
+    export_shards(df, path, 8)
+    back = spark.read.option("basePath", path).parquet(path)
+    # shard column restored; contents complete and shard-consistent
+    assert back.count() == 2_000
+    got = {r.shard: r.n for r in
+           back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r.shard: r.n_rows for r in shard_plan(df, 8).collect()}
+    assert got == want
+    # every shard directory exists on disk
+    import os
+
+    assert {f"shard={i}" for i in range(8)} <= set(os.listdir(path))
