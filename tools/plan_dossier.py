@@ -183,6 +183,10 @@ CLAIMS = {
         "hash-agg with map-side combine — output bounded by m x "
         "|sources| at any corpus scale"
     ),
+    "shard_plan": (
+        "ONE n_shards-row hash-agg with map-side combine; the md5 "
+        "assignment is row-local inside the scan"
+    ),
 }
 
 
