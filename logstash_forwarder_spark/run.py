@@ -107,6 +107,22 @@ def main(argv: list[str] | None = None) -> int:
         help="with --compact-sinks: target data-file size (default 128)",
     )
     p.add_argument(
+        "--export-shards",
+        metavar="DIR",
+        help="consumer mode: read EVERY committed run under --out "
+        "(pipeline.read_table — commit-protocol-aware, crashed attempts "
+        "invisible) and materialize training shards at DIR with the "
+        "deterministic portable assignment (operators/pack.py "
+        "export_shards), then exit",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=64,
+        metavar="N",
+        help="with --export-shards: shard count (default 64)",
+    )
+    p.add_argument(
         "--sort-by",
         metavar="COL",
         help="write-time sorted layout: range-partition + sort each sink's "
@@ -168,6 +184,31 @@ def main(argv: list[str] | None = None) -> int:
             sort_cols=[args.sort_by] if args.sort_by else None,
         )
         print(json.dumps({"run_id": args.run_id, "sinks": reports}))
+        return 0
+
+    if args.export_shards:
+        from .operators.pack import export_shards, shard_plan
+        from .pipeline import read_table
+
+        spark = _get_session(args)
+        table = read_table(spark, args.out)
+        export_shards(table, args.export_shards, args.shards)
+        plan = {
+            int(r.shard): [int(r.n_rows), int(r.weight_total)]
+            for r in shard_plan(
+                table, args.shards, weight_col="n_tok"
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "shard_dir": args.export_shards,
+                    "n_shards": args.shards,
+                    "rows": sum(v[0] for v in plan.values()),
+                    "tokens": sum(v[1] for v in plan.values()),
+                }
+            )
+        )
         return 0
 
     if args.snapshots or args.read_as_of:
