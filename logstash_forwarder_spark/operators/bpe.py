@@ -194,16 +194,24 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: bool = True,
 ) -> DataFrame:
-    """Tokenize every document with a fixed merge table (normalization
-    applied inside). Output: id, n_words, n_tokens, tokens — the token
-    stream with a single ``" "`` token between words (word boundaries
-    stay observable; merges never cross them). Row-local mapInPandas,
-    merge table by closure, per-task word memo. Zero shuffle."""
+    """Tokenize every document with a fixed merge table. Output: id,
+    n_words, n_tokens, tokens — the token stream with a single ``" "``
+    token between words (word boundaries stay observable; merges never
+    cross them). Row-local mapInPandas, merge table by closure,
+    per-task word memo. Zero shuffle.
+
+    ``normalize=True`` applies the ASCII-closed house normalization
+    (what the oracle replays); it is a parity choice, not an algorithm
+    limit — pass ``normalize=False`` to tokenize pre-normalized text
+    with any charset (the trainer, apply loop, and memo are
+    charset-agnostic; words are whatever single spaces separate)."""
     validate_merges(merges)
+    t = F.col(text_col)
     norm = df.select(
         F.col(id_col).alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("t"),
+        (normalize_text(t) if normalize else F.coalesce(t, F.lit(""))).alias("t"),
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -169,3 +169,16 @@ def test_encode_word_hypothesis_roundtrip():
             assert got == _replace_reference(w, merges)
 
     check()
+
+
+def test_bpe_encode_normalize_false_keeps_any_charset(spark):
+    merges = [("é", "t"), ("k", "o")]
+    # hand-built but topologically valid (all constituents are chars)
+    df = spark.createDataFrame(
+        [(1, "été ko"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           bpe_encode(df, merges, normalize=False).collect()}
+    assert list(got[1].tokens) == ["ét", "é", " ", "ko"]
+    assert got[1].n_tokens == 3 and got[1].n_words == 2
+    assert got[2].n_words == 0 and list(got[2].tokens) == []
