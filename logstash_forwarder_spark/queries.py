@@ -4417,99 +4417,53 @@ GROUP BY 1
 # entries (proven in VERDICT.md round 3, "What's wrong #1"), while
 # tools/check_oracle.py gates ALL entries every session.
 #
-# ROTATION SCHEDULE (VERDICT r4 #3 — every entry gets a driver row at
-# least every 2 rounds):
+# ROTATION SCHEDULE (revised r6; VERDICT r5 "What's missing #1" proved
+# the old 2-round invariant arithmetically impossible at 109 > 2×50).
+# The invariant is now STALENESS-ORDERED with a ceil(N/50)-round bound:
 #   * NEW, CHANGED, or previously-RED entries always enter the window
 #     immediately (top).
-#   * Entries driver-checked in round N rotate to the tail in round N+1
-#     and return to the window in round N+2 — the registry alternates
-#     halves, so CORRECTNESS_r{N} ∪ r{N-1} always covers everything.
-# Round-5 window: 17 new + 3 re-check (assemble_packs was r4-RED;
-# regional_revenue/revenue_topk changed) + the 6 analytics stranded at
-# positions 51-56 in r4 + the 14 r3-checked tail entries (due this round)
-# + 10 r4-green keepers. Round-5 tail: r4-certified entries (incl.
-# similarity_ivf/similarity_lsh, rotated out to make room for the sketch
-# queries), due back in round 6.
+#   * Everything else is ordered by last-driver-checked round ASCENDING
+#     (never-checked first, then oldest) — the 50-slot window therefore
+#     always takes the stalest entries, and with N registry entries every
+#     entry gets a driver row at least every ceil(N/50) rounds (3 at
+#     N=109..150).
+#   * tools/check_rotation.py verifies the order against the
+#     CORRECTNESS_r*.json history; tests/test_rotation.py gates it.
+# Round-6 window: the 12 entries that had never had a driver row, then
+# new-in-r6 entries, then last-checked-r4 entries in prior order; the
+# cut-off falls inside the r4 block (overflow due r7). Tail: the r4
+# overflow, then the 50 r5-certified entries.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- new in round 5 --
-    "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
-    # exhaustive-refine PQ is exact → same oracle as brute force
-    "similarity_pq": (q_similarity_pq, SQL_SIMILARITY_TOPK),
-    "similarity_ivf_pq": (q_similarity_ivf_pq, SQL_SIMILARITY_TOPK),
-    # dissect splits the same fixture grok_parse regex-parses → same oracle
-    "dissect_parse": (q_dissect_parse, SQL_GROK_PARSE),
-    "multiline_assemble": (q_multiline_assemble, SQL_MULTILINE),
-    "throttle": (q_throttle, SQL_THROTTLE),
-    "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
-    "aggregate_correlate": (q_aggregate_correlate, SQL_AGGREGATE_CORRELATE),
-    "ip_range_lookup": (q_ip_range_lookup, SQL_IP_RANGE_LOOKUP),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "date_parse": (q_date_parse, SQL_DATE_PARSE),
-    "mutate_chain": (q_mutate_chain, SQL_MUTATE_CHAIN),
-    "useragent_parse": (q_useragent_parse, SQL_USERAGENT_PARSE),
-    "translate_lookup": (q_translate_lookup, SQL_TRANSLATE_LOOKUP),
-    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
-    "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
-    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
-    "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
-    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
-    "syslog_pri": (q_syslog_pri, SQL_SYSLOG_PRI),
-    "kv_parse": (q_kv_parse, SQL_KV_PARSE),
-    "split_events": (q_split_events, SQL_SPLIT_EVENTS),
-    "anonymize_events": (q_anonymize_events, SQL_ANONYMIZE_EVENTS),
-    "hll_shingles": (q_hll_shingles, SQL_HLL_SHINGLES),
-    "field_hygiene": (q_field_hygiene, SQL_FIELD_HYGIENE),
-    "cidr_tld": (q_cidr_tld, SQL_CIDR_TLD),
-    "meter_rates": (q_meter_rates, SQL_METER_RATES),
-    # -- re-check: r4-RED (driver couldn't hash arrays) / changed this round --
-    "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
-    # -- stranded at positions 51-56 in r4 (last driver row: r3) --
-    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
-    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
-    # -- r3-checked tail entries, due back this round --
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
-    "line_number": (q_line_number, SQL_LINE_NUMBER),
-    "dead_time_filter": (q_dead_time_filter, SQL_DEAD_TIME_FILTER),
-    "spool_batches": (q_spool_batches, SQL_SPOOL_BATCHES),
-    "kv_serialize": (q_kv_serialize, SQL_KV_SERIALIZE),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
-    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    # ---- driver window ends here (first 50) ----
-    # r4-green keepers rotated to tail for the r5 fieldops/meter/ivf-pq
-    # queries (due back in the r6 window per the rotation schedule):
+    # -- r6 window: the 12 entries that had NEVER had a driver row
+    # (VERDICT r5 "What's missing #1") enter first --
+    "clone_range": (q_clone_range, SQL_CLONE_RANGE),
+    "dns_lookup": (q_dns_lookup, SQL_DNS_LOOKUP),
+    "metricize": (q_metricize, SQL_METRICIZE),
+    "cipher_roundtrip": (q_cipher_roundtrip, SQL_CIPHER_ROUNDTRIP),
+    # greedy first-wins + engine-specific hashing → rows-only by design
+    "incremental_dedup": (q_incremental_dedup, None),
+    "incremental_dedup_exact": (q_incremental_dedup_exact, SQL_INCREMENTAL_DEDUP_EXACT),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "es_bulk": (q_es_bulk, SQL_ES_BULK),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    # -- new-in-r6 entries insert HERE (above the r4 block) --
+    # -- stalest entries next: last driver row r4; the window cut-off
+    # falls inside this block, overflow is due in r7 --
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
     "registrar_max_offset": (q_registrar_max_offset, SQL_REGISTRAR_MAX_OFFSET),
     "sink_source_counts": (q_sink_source_counts, SQL_SINK_SOURCE_COUNTS),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "media_decode": (q_media_decode, SQL_MEDIA_DECODE),
     "grouped_median": (q_grouped_median, SQL_GROUPED_MEDIAN),
-    # exhaustive-probe IVF / LSH are exact → same oracle as brute force
-    # (r4-green keepers rotated to tail in r5 for the sketch queries)
+    # exhaustive-probe IVF / LSH / PQ-refine are exact → brute-force oracle
     "similarity_ivf": (q_similarity_ivf, SQL_SIMILARITY_TOPK),
     "similarity_lsh": (q_similarity_lsh, SQL_SIMILARITY_TOPK),
-    # r4-checked keepers rotated to tail in r5 for the filter queries
-    # (minhash_lsh/simhash are rows-only by design in any position)
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "minhash_lsh": (q_minhash_lsh, None),  # engine-specific hashing → rows-only
-    "simhash": (q_simhash, None),  # engine-specific hashing → rows-only
-    # -- r4-certified tail (all driver-green in CORRECTNESS_r04 or earlier;
-    # due back in the round-6 window; still checked every session by
-    # check_oracle) --
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "chunk_overlap": (q_chunk_overlap, SQL_CHUNK_OVERLAP),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
@@ -4537,6 +4491,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     "span_cut": (q_span_cut, SQL_SPAN_CUT),
+    # ---- driver window ends here (first 50) ----
     "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
@@ -4544,24 +4499,62 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grok_parse": (q_grok_parse, SQL_GROK_PARSE),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
-    # -- new in r5 AFTER the window filled (every in-window slot is due a
-    # driver row this round); local-gate green now, first driver row in
-    # the r6 window per the rotation schedule --
-    "clone_range": (q_clone_range, SQL_CLONE_RANGE),
-    "dns_lookup": (q_dns_lookup, SQL_DNS_LOOKUP),
-    "metricize": (q_metricize, SQL_METRICIZE),
-    "cipher_roundtrip": (q_cipher_roundtrip, SQL_CIPHER_ROUNDTRIP),
-    "incremental_dedup": (q_incremental_dedup, None),  # greedy + engine hash
-    "incremental_dedup_exact": (
-        q_incremental_dedup_exact,
-        SQL_INCREMENTAL_DEDUP_EXACT,
-    ),
-    "lm_score": (q_lm_score, SQL_LM_SCORE),
-    "es_bulk": (q_es_bulk, SQL_ES_BULK),
-    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
-    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
-    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    # engine-specific hashing → rows-only by design (bit-exact portable
+    # witnesses: minhash_portable / simhash_portable above)
+    "minhash_lsh": (q_minhash_lsh, None),
+    "simhash": (q_simhash, None),
+    # -- r5-certified tail (all driver-green in CORRECTNESS_r05; due back
+    # per staleness order; still gated every session by check_oracle) --
+    "grok_combined": (q_grok_combined, SQL_GROK_COMBINED),
+    "similarity_pq": (q_similarity_pq, SQL_SIMILARITY_TOPK),
+    "similarity_ivf_pq": (q_similarity_ivf_pq, SQL_SIMILARITY_TOPK),
+    "dissect_parse": (q_dissect_parse, SQL_GROK_PARSE),
+    "multiline_assemble": (q_multiline_assemble, SQL_MULTILINE),
+    "throttle": (q_throttle, SQL_THROTTLE),
+    "elapsed_pairs": (q_elapsed_pairs, SQL_ELAPSED),
+    "aggregate_correlate": (q_aggregate_correlate, SQL_AGGREGATE_CORRELATE),
+    "ip_range_lookup": (q_ip_range_lookup, SQL_IP_RANGE_LOOKUP),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "date_parse": (q_date_parse, SQL_DATE_PARSE),
+    "mutate_chain": (q_mutate_chain, SQL_MUTATE_CHAIN),
+    "useragent_parse": (q_useragent_parse, SQL_USERAGENT_PARSE),
+    "translate_lookup": (q_translate_lookup, SQL_TRANSLATE_LOOKUP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "xml_roundtrip": (q_xml_roundtrip, SQL_XML_ROUNDTRIP),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "syslog_pri": (q_syslog_pri, SQL_SYSLOG_PRI),
+    "kv_parse": (q_kv_parse, SQL_KV_PARSE),
+    "split_events": (q_split_events, SQL_SPLIT_EVENTS),
+    "anonymize_events": (q_anonymize_events, SQL_ANONYMIZE_EVENTS),
+    "hll_shingles": (q_hll_shingles, SQL_HLL_SHINGLES),
+    "field_hygiene": (q_field_hygiene, SQL_FIELD_HYGIENE),
+    "cidr_tld": (q_cidr_tld, SQL_CIDR_TLD),
+    "meter_rates": (q_meter_rates, SQL_METER_RATES),
+    "assemble_packs": (q_assemble_packs, SQL_ASSEMBLE_PACKS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
+    "pricing_agg": (q_pricing_agg, SQL_PRICING_AGG),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "line_number": (q_line_number, SQL_LINE_NUMBER),
+    "dead_time_filter": (q_dead_time_filter, SQL_DEAD_TIME_FILTER),
+    "spool_batches": (q_spool_batches, SQL_SPOOL_BATCHES),
+    "kv_serialize": (q_kv_serialize, SQL_KV_SERIALIZE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "pivot_counts": (q_pivot_counts, SQL_PIVOT_COUNTS),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }
 
 
