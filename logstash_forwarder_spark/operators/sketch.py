@@ -158,6 +158,12 @@ def cms_estimate(
     d·width rows → broadcast; an inner join is safe for the estimate
     because a key with ANY empty counter has true count 0 and vanishing
     est is handled by the coalesce-to-0 left join below.
+
+    Duplicate probe rows are tolerated: the groupBy collapses them to
+    ONE output row per distinct probe tuple (same min, the duplicated
+    (j, bucket, cnt) rows are identical), guarded by ``_d % d == 0``
+    rather than ``_d == d`` so duplicates estimate instead of silently
+    vanishing (ADVICE r5).
     """
     k = len(coeffs)
     pr = probes.select(
@@ -167,12 +173,13 @@ def cms_estimate(
     joined = pr.join(F.broadcast(counters), ["j", "bucket"], "left").withColumn(
         "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )
-    # min over exactly d probe rows per key (d rows exist by construction)
+    # min over n·d probe rows per distinct key (n = duplicate multiplicity,
+    # min unchanged); anything not a multiple of d is a real geometry bug
     est = (
         joined.groupBy(*probes.columns)
         .agg(F.min("cnt").cast("long").alias("est"), F.count(F.lit(1)).alias("_d"))
     )
-    return est.filter(F.col("_d") == k).drop("_d")
+    return est.filter(F.col("_d") % k == 0).drop("_d")
 
 
 def cms_merge(*counters: DataFrame, width: int | None = None) -> DataFrame:
@@ -184,9 +191,16 @@ def cms_merge(*counters: DataFrame, width: int | None = None) -> DataFrame:
     data. Proven in tests/test_sketch.py::test_cms_merge_is_union.
 
     The min-over-d estimate bound only holds when every input shares
-    the hash geometry — pass ``width`` to enforce it: a bucket id ≥
+    the hash geometry — pass ``width`` to guard it: a bucket id ≥
     width (the signature of a sketch built wider) fails the plan at
-    runtime instead of silently producing under-estimates."""
+    runtime instead of silently producing under-estimates. The guard is
+    ONE-SIDED (ADVICE r5): a sketch built NARROWER than ``width`` has
+    every bucket < width and cannot be detected from bucket ids alone —
+    the relation carries no geometry metadata. Callers that persist
+    sketches must carry the build width out-of-band (the registrar
+    manifest's ``params`` field is the intended slot) and compare it
+    exactly before merging; this guard is a last-line tripwire, not a
+    proof of equality."""
     from functools import reduce
 
     if not counters:

@@ -69,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         help="number of tail polls to run (with --tail-glob / --conf --tail)",
     )
     p.add_argument(
+        "--tail-from-end",
+        action="store_true",
+        help="the reference's -tail flag (logstash-forwarder.go:77): files "
+        "with no saved offset — pre-existing logs at first launch, fresh "
+        "post-rotation content — attach at EOF instead of byte 0, skipping "
+        "history ('may skip entries')",
+    )
+    p.add_argument(
         "--poll-interval", type=float, default=0.0,
         help="seconds to sleep between tail polls",
     )
@@ -323,6 +331,7 @@ def _harvest_from_conf(spark, conf_path: str):
     stem_re = re.compile(r"([^/]+?)(?:\.[^./]*)?(?:\.gz)?$")
     now = timemod.time()
     all_paths: list[str] = []
+    seen_paths: set[str] = set()
     dim_fields: dict[str, dict[str, str]] = {}
     for g in cfg.files:
         cutoff = now - parse_duration(g.dead_time)
@@ -339,6 +348,10 @@ def _harvest_from_conf(spark, conf_path: str):
             for mfile in sorted(globmod.glob(pat)):
                 if os.path.getmtime(mfile) >= cutoff:
                     matched.append(mfile)
+        # overlapping globs (within a group, or across groups with identical
+        # fields) must not ship a file twice — mirror discover_tails' set
+        # dedup, order-preserving (ADVICE r5)
+        matched = list(dict.fromkeys(matched))
         for mfile in matched:
             src = stem_re.search(mfile).group(1)
             if src in dim_fields and dim_fields[src] != g.fields:
@@ -347,7 +360,8 @@ def _harvest_from_conf(spark, conf_path: str):
                     "two files[] groups"
                 )
             dim_fields[src] = g.fields
-        all_paths.extend(matched)
+        all_paths.extend(m for m in matched if m not in seen_paths)
+        seen_paths.update(matched)
     if not all_paths:
         return None, None
     seqs = lines_to_sequences(harvest_text_files(spark, all_paths))
@@ -457,7 +471,9 @@ def _tail_loop(spark, args) -> int:
         poll_no = poll_base + k
         if dim_per_poll is not None and k > 0:
             dim = dim_per_poll()
-        harvested, new_state = poll_tail_once(spark, tail_globs, state)
+        harvested, new_state = poll_tail_once(
+            spark, tail_globs, state, tail_on_rotate=args.tail_from_end
+        )
         n_lines = harvested.count()
         rec = {"poll": poll_no, "new_lines": n_lines}
         if n_lines:
@@ -508,7 +524,10 @@ def _tail_loop(spark, args) -> int:
                     "left_semi",
                 )
                 n_kept = kept_sigs.count()
-                rec["dup_lines"] = n_lines - n_kept
+                # count the dedup INPUT (complete lines only) — n_lines
+                # includes held-back partial lines, which are not
+                # duplicates (ADVICE r5)
+                rec["dup_lines"] = lines_df.count() - n_kept
             if kept_sigs is None or n_kept:
                 # (an all-duplicates poll skips the publish but still
                 # commits its empty signature batch and advances offsets)

@@ -14,8 +14,13 @@ per-row arithmetic is numpy over the sorted slice.
 
 Timeout: push_map_as_event_on_timeout — a task idle for ``ttl_ms``
 emits its open span with ``timed_out=true`` (NULL-analog ``ended`` /
-``span_us`` of -1, keeping the output schema flat longs) and drops its
-state, mirroring the batch operator's ``emit_open=True`` tail rows.
+``span_us`` of -1, keeping the output schema flat longs), mirroring the
+batch operator's ``emit_open=True`` tail rows. The state is NOT removed
+on timeout: it re-initializes to ``(span+1, 0, 0, -1)`` so span
+numbering stays monotone per user and (user_id, span) output keys never
+repeat — removal would restart a returning user at span 0, re-emitting
+an already-final key (ADVICE r5). The retained counter is 4 longs per
+ever-seen user, the same asymptote as any per-user aggregate.
 
 Ordering contract: exact equality with the batch operator's closed
 spans holds under time-ordered replay (the harvest case) — same
@@ -50,8 +55,10 @@ def _update(
     span, n, cents, started_us = state.get if state.exists else (0, 0, 0, -1)
 
     if state.exists and state.hasTimedOut:
-        # push_map_as_event_on_timeout: flush the open span, drop state
-        state.remove()
+        # push_map_as_event_on_timeout: flush the open span, then keep the
+        # span counter (monotone numbering — see module docstring)
+        state.update((int(span) + (1 if n > 0 else 0), 0, 0, -1))
+        state.setTimeoutDuration(TTL_MS)
         if n > 0:
             yield pd.DataFrame(
                 {

@@ -85,3 +85,77 @@ def test_aggregate_stream_equals_batch(spark, tmp_path):
     assert n_rows == len(want)
     # the straddling span really did straddle: its count spans both files
     assert want[(1, 1)][0] == 3
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving _update."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_keeps_span_numbering_monotone():
+    """TTL flush must NOT restart span numbering: after a timed-out span N,
+    the user's next closed span is N+1 — (user_id, span) keys never repeat,
+    so update-mode emissions stay final (ADVICE r5)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from logstash_forwarder_spark.streaming.aggregate_stream import _update
+
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["ts", "event_id", "event_type", "value"]
+        )
+
+    # batch 1: open span 0 (no purchase)
+    state = _FakeState()
+    out = list(_update((7,), iter([batch([(t0, 1, "view", 1.0)])]), state))
+    assert out == [] and state.get[0] == 0 and state.get[1] == 1
+
+    # TTL fires: span 0 flushed timed_out, counter advances to 1
+    state.hasTimedOut = True
+    out = list(_update((7,), iter([]), state))
+    assert len(out) == 1
+    flushed = out[0].iloc[0]
+    assert (flushed.span, flushed.timed_out, flushed.span_us) == (0, True, -1)
+    assert state.get == (1, 0, 0, -1)
+    assert state.timeout_set is not None  # re-armed, state retained
+
+    # idle TTL with nothing open: no emission, counter retained
+    out = list(_update((7,), iter([]), state))
+    assert out == [] and state.get == (1, 0, 0, -1)
+
+    # user returns and closes a span: numbered 1, never 0 again
+    state.hasTimedOut = False
+    out = list(
+        _update(
+            (7,),
+            iter([batch([(t0, 2, "view", 1.0), (t0, 3, "purchase", 2.0)])]),
+            state,
+        )
+    )
+    assert len(out) == 1 and out[0].iloc[0].span == 1
+    assert state.get[0] == 2

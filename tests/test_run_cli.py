@@ -253,6 +253,49 @@ def test_run_cli_forwarder_conf(spark, tmp_path, capsys):
     assert summary["rows_staged"] == 0
 
 
+def test_run_cli_conf_overlapping_globs_ship_once(spark, tmp_path, capsys):
+    """A file matched by two overlapping globs — within one files[] group
+    AND by a second group with identical fields — ships exactly once
+    (ADVICE r5: _harvest_from_conf must dedupe matched paths the way
+    discover_tails does)."""
+    import json as _json
+    import os
+
+    logs = tmp_path / "olaps"
+    logs.mkdir()
+    (logs / "web.log").write_bytes(
+        b"GET /a one two three four five six seven eight nine ten\n" * 3
+    )
+    os.environ["LFS_TEST_LOGDIR"] = str(logs)
+    conf = tmp_path / "overlap.conf"
+    conf.write_text(
+        """
+{
+  "files": [
+    { "paths": ["$LFS_TEST_LOGDIR/web.log", "$LFS_TEST_LOGDIR/*.log"],
+      "fields": { "type": "apache" } },
+    { "paths": ["$LFS_TEST_LOGDIR/w*.log"],
+      "fields": { "type": "apache" } }
+  ]
+}
+"""
+    )
+    out = str(tmp_path / "outo")
+    rc = main(["--conf", str(conf), "--out", out, "--run-id", "o1"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 3  # 3 lines, despite 3 glob matches
+
+    import duckdb
+
+    con = duckdb.connect()
+    (n, nd) = con.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/run_id=o1/sink=*/*.parquet', hive_partitioning=true)"
+    ).fetchall()[0]
+    assert (n, nd) == (3, 3)
+
+
 def test_forwarder_conf_parsing_errors(tmp_path):
     from logstash_forwarder_spark.config import (
         ConfigError,

@@ -105,6 +105,22 @@ def test_cms_one_sided_and_model_exact(spark):
     assert any(est[k] > exact[k] for k in probes.tolist())
 
 
+def test_cms_estimate_tolerates_duplicate_probes(spark):
+    """Duplicate probe rows collapse to ONE output row per distinct probe
+    with the SAME estimate — not silently dropped (ADVICE r5: the old
+    ``_d == d`` guard removed any probe appearing twice)."""
+    keys = np.repeat(np.arange(30, dtype=np.int64) * 1009, 4)
+    counters = cms_build(_keys_df(spark, keys), "h", width=8192)
+    probes = np.unique(keys)
+    dup_probes = np.concatenate([probes, probes[:10], probes[:3]])
+    rows = cms_estimate(
+        _keys_df(spark, dup_probes), "h", counters, width=8192
+    ).collect()
+    got = {r.h: r.est for r in rows}
+    assert len(rows) == len(probes)  # one row per DISTINCT probe
+    assert got == {int(k): 4 for k in probes}
+
+
 def test_cms_exact_when_wide(spark):
     """With width >> distinct keys and no collisions, est == exact."""
     keys = np.repeat(np.arange(40, dtype=np.int64) * 1009, 3)
