@@ -336,7 +336,10 @@ def _digest(data: bytes) -> str:
 
 
 def discover_tails(
-    path_glob: str | list[str], state: dict[str, tuple]
+    path_glob: str | list[str],
+    state: dict[str, tuple],
+    *,
+    tail_on_rotate: bool = False,
 ) -> list[tuple[str, int, int, tuple[int, str]]]:
     """One prospector tick (prospector.go:24-78): glob the pattern(s) and
     return (file, resume_offset, base_line, head_fp) for every file that
@@ -355,13 +358,24 @@ def discover_tails(
     harvester.go:57-63). The check costs one page-cached 4 KiB read per
     file per tick, the same cost class as the stat census. Legacy state
     entries without a fingerprint skip the check for one tick and gain
-    one at their next advance."""
+    one at their next advance.
+
+    ``tail_on_rotate`` is the reference's ``-tail`` flag
+    (logstash-forwarder.go:77, harvester.go:116-122: any open with no
+    saved offset seeks to EOF): a file with NO state entry — first
+    daemon launch over a pre-existing log, or fresh post-rotation
+    content — ATTACHES at its current size instead of byte 0, skipping
+    history ("may skip entries", the flag's own help text). Attach-only
+    entries come back with ``resume_offset == size`` so the poll records
+    the attach point even when nothing grows; line numbering counts from
+    the attach point (the reference tracks no line numbers at all)."""
     import glob as _glob
     import os
 
     pats = [path_glob] if isinstance(path_glob, str) else list(path_glob)
     out = []
     for p in sorted({m for pat in pats for m in _glob.glob(pat)}):
+        known = p in state
         v = state.get(p, (0, 0))
         off, base = int(v[0]), int(v[1])
         rec_fp = (int(v[2]), str(v[3])) if len(v) >= 4 else None
@@ -378,9 +392,11 @@ def discover_tails(
             rotated = n > len(head) or (
                 rec_fp != (fp if n == len(head) else (n, _digest(head[:n])))
             )
-        if rotated:
+        if not known and tail_on_rotate:
+            out.append((p, size, 0, fp))  # attach at EOF, skip history
+        elif rotated:
             # line numbering restarts with the new content
-            out.append((p, 0, 0, fp))
+            out.append((p, size if tail_on_rotate else 0, 0, fp))
         elif size > off:
             out.append((p, off, base, fp))
     return out
@@ -475,14 +491,26 @@ def release_poll_checkpoint(df: DataFrame) -> None:
 
 
 def poll_tail_once(
-    spark, path_glob: str | list[str], state: dict[str, tuple]
+    spark,
+    path_glob: str | list[str],
+    state: dict[str, tuple],
+    *,
+    tail_on_rotate: bool = False,
 ) -> tuple[DataFrame, dict[str, tuple]]:
     """One complete tail tick: discover grown files, seek-harvest their
     new bytes, and return (complete new lines, advanced state). Run it on
     an interval for slow-rotating logs — the reference's harvester loop
     at poll granularity. Partial tails stay out of both the emitted rows
-    and the state, so every line is emitted exactly once, whole."""
-    tails = discover_tails(path_glob, state)
+    and the state, so every line is emitted exactly once, whole.
+
+    ``tail_on_rotate``: the reference's ``-tail`` flag (see
+    ``discover_tails``). Every discovered entry's attach point is
+    pre-seeded into the returned state BEFORE harvest advances overwrite
+    it, so an attach-at-EOF with zero growth is still recorded — the
+    poll-granularity stand-in for the reference's keep-the-fd-open seek
+    (a later tick must resume from the recorded attach point, not re-seek
+    to a newer EOF and drop the interim growth)."""
+    tails = discover_tails(path_glob, state, tail_on_rotate=tail_on_rotate)
     if not tails:
         return (
             spark.createDataFrame([], HARVEST_SCHEMA),
@@ -501,6 +529,11 @@ def poll_tail_once(
         tail_harvest(spark, tdf).filter("is_complete").localCheckpoint(eager=True)
     )
     new_state = dict(state)
+    if tail_on_rotate:
+        # record attach points (resume_offset == size ⇒ no harvest rows
+        # ⇒ no advance row) so the next tick resumes from here
+        for p, o, b, (fp_len, fp_hex) in tails:
+            new_state[p] = (o, b, fp_len, fp_hex)
     for r in advance_tail_state(harvested).collect():
         fp_len, fp_hex = fps[r.file]
         new_state[r.file] = (r.resume_offset, r.base_line, fp_len, fp_hex)
