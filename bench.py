@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "lm_score",
     "bpe_encode",
+    # round 6 additions
+    "curriculum_buckets",
+    "source_novelty",
 ]
 
 

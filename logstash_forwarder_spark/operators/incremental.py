@@ -126,7 +126,9 @@ class BucketedSignatureStore(SignatureStore):
     """SignatureStore whose read side is ALSO maintained as two bucketed
     external catalog tables, for the non-broadcastable-batch regime:
 
-    * ``<name>_fps``   — (doc_id, fp) bucketed by ``fp``
+    * ``<name>_fps``   — (fp) bucketed by ``fp`` (id-column-agnostic: the
+      exact stage only probes fingerprints, and callers use differing id
+      columns — doc_id batches, line_id tail polls)
     * ``<name>_bands`` — (sig_a, band, bucket) bucketed by ``(band, bucket)``
       (the persisted banded-LSH index; NULL-sig docs don't band)
 
@@ -217,7 +219,7 @@ class BucketedSignatureStore(SignatureStore):
         first = not self._indexed()
         mode = "overwrite" if first else "append"
         write_bucketed(
-            sigs.select("doc_id", "fp"),
+            sigs.select("fp"),
             self.fps_table,
             path=os.path.join(self.root, "idx_fps"),
             bucket_cols=["fp"],

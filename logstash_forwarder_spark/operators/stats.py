@@ -194,3 +194,87 @@ def mixture_weights(
         F.floor(share * F.lit(1000000.0)).cast("long").alias("share_ppm"),
         F.least(F.lit(1000000).cast("long"), w.cast("long")).alias("weight_ppm"),
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    *,
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Length-curriculum shard assignment: rows ranked globally by
+    ``(len_col, id_col)`` are cut into ``n_buckets`` near-equal shards —
+    shard 0 holds the shortest docs, the last shard the longest. The
+    standard curriculum-learning prep (train short-to-long) and the
+    length-homogeneous packing precursor (same-length docs pack with
+    minimal padding).
+
+    A naive ``ntile`` is a GLOBAL window — one task sorts the world. The
+    exact rank instead composes two bounded pieces (the
+    ``length_quantiles`` / ``token_budget_cap`` discipline):
+
+      1. base rank per length: ONE hash-agg to |domain| histogram rows,
+         cumsum over that tiny relation (broadcast back);
+      2. intra-length rank: two-level prefix sum over id-buckets, so no
+         window partition ever exceeds |id-bucket| rows even when one
+         length holds billions of docs (skew-proof — a corpus of
+         identical lengths still ranks in bounded partitions).
+
+    Shard = ``(rank - 1) * n_buckets DIV total`` — pure integer math,
+    bit-reproducible by any engine (NOT ntile's ceil-first split; this
+    formula is the deterministic shard assigner the pack/shard tier
+    already uses). Output: ``(id_col, len_col, rank, bucket)``.
+    """
+    if n_buckets <= 0:
+        raise ValueError("curriculum_buckets: n_buckets must be positive")
+    if bucket_width is None:
+        lo, hi = df.agg(
+            F.min(id_col).cast("long"), F.max(id_col).cast("long")
+        ).first()
+        span = (hi - lo + 1) if hi is not None else 1
+        bucket_width = max(1024, -(-span // 65536))
+    b = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("_len"),
+        F.expr(f"{id_col} DIV {int(bucket_width)}").alias("_bkt"),
+    )
+    # 1. per-length counts (bounded domain) -> exclusive base rank
+    per_len = b.groupBy("_len").agg(F.count(F.lit(1)).alias("_ln"))
+    w_len = W.orderBy("_len").rowsBetween(W.unboundedPreceding, -1)
+    base = per_len.withColumn(
+        "_base", F.coalesce(F.sum("_ln").over(w_len), F.lit(0))
+    ).select("_len", "_base")
+    total = int(per_len.agg(F.sum("_ln")).first()[0] or 0)
+    # 2. intra-length two-level prefix: per-(len, id-bucket) counts,
+    # exclusive cumsum over buckets, then row_number within one bucket
+    per_bucket = b.groupBy("_len", "_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    w_bkt = (
+        W.partitionBy("_len").orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = per_bucket.withColumn(
+        "_pre", F.coalesce(F.sum("_bn").over(w_bkt), F.lit(0))
+    ).select("_len", "_bkt", "_pre")
+    w_intra = W.partitionBy("_len", "_bkt").orderBy(id_col)
+    rank = (
+        F.col("_base") + F.col("_pre") + F.row_number().over(w_intra)
+    ).cast("long")
+    # integer DIV, never float division: (rank-1)*n_buckets exceeds 2^53
+    # float mantissa precision long before 10^12 rows x n_buckets
+    shard = (
+        F.expr(f"((rank - 1) * {int(n_buckets)}) DIV {total}")
+        if total
+        else F.lit(0)
+    ).cast("long")
+    return (
+        b.join(F.broadcast(base), "_len")
+        .join(pre, ["_len", "_bkt"])
+        .withColumn("rank", rank)
+        .select(
+            id_col,
+            F.col("_len").alias(len_col),
+            "rank",
+            shard.alias("bucket"),
+        )
+    )

@@ -4410,6 +4410,205 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# round 6: curriculum sharding, cross-source novelty, boilerplate mining,
+# dedup-cluster reporting
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum shard assignment (operators/stats.py
+    curriculum_buckets): docs ranked globally by (word count, doc_id) and
+    cut into 8 near-equal shards — short-to-long training order, and the
+    length-homogeneous precursor that makes packing padding-free. The
+    rank is EXACT with NO global sort: per-length histogram (bounded
+    domain) for the base + a skew-proof two-level prefix sum within each
+    length, so no window partition exceeds one id-bucket even when a
+    single length holds billions of docs. Shard = (rank-1)*8 DIV total —
+    pure integer math, reproduced bit-exactly by the oracle's
+    row_number() twin."""
+    from .operators.stats import curriculum_buckets
+
+    nw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("n_words"),
+    )
+    ranked = curriculum_buckets(nw, 8, len_col="n_words", id_col="doc_id")
+    return ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.sum("n_words").cast("long").alias("words_total"),
+    )
+
+
+SQL_CURRICULUM_BUCKETS = r"""
+WITH w AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                          ' ')) AS n_words
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         row_number() OVER (ORDER BY n_words, doc_id) AS rn,
+         count(*) OVER () AS total
+  FROM w)
+SELECT CAST((rn - 1) * 8 // total AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(max(n_words) AS BIGINT) AS max_words,
+       CAST(sum(n_words) AS BIGINT) AS words_total
+FROM r
+GROUP BY 1
+"""
+
+
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram novelty — per source: how many distinct word
+    3-gram hashes it holds, and how many appear in NO other source. The
+    crawl-redundancy question ("does this new source add anything?")
+    asked before paying to ingest it.
+
+    Scale shape: raw (source, h) occurrences collapse in ONE gram-keyed
+    hash-agg to collect_set(source) — the set is bounded by |sources|
+    (dozens), NOT doc count, and map-side partial sets keep the exchange
+    at distinct-gram grain; a second tiny source-keyed agg finishes. No
+    gram-gram join, no distinct-then-join double exchange. Same portable
+    shingle hash as the minhash witness so the DuckDB twin replays every
+    gram bit-exactly (collisions included — both engines see the same
+    collided hash space)."""
+    grams = _portable_shingle_hashes_raw(
+        _docs(spark, sf_dir), keep=("source",)
+    ).select("source", "h")
+    per_gram = grams.groupBy("h").agg(F.collect_set("source").alias("_srcs"))
+    return (
+        per_gram.select(
+            F.explode("_srcs").alias("source"),
+            (F.size("_srcs") == 1).cast("long").alias("_excl"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_excl").cast("long").alias("n_exclusive"),
+        )
+    )
+
+
+SQL_SOURCE_NOVELTY = r"""
+WITH words AS (
+  SELECT source,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT source,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+           % 1073741789 AS h
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+sg AS (SELECT DISTINCT source, h FROM sh),
+pg AS (SELECT h, count(*) AS ns FROM sg GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+FROM sg JOIN pg USING (h)
+GROUP BY source
+"""
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: documents sharing their first-8-word prefix
+    (md5 fingerprint of the normalized prefix) — the cheap detector for
+    template headers, cookie banners, and licence blurbs that exact
+    dedup misses because the tails differ. One prefix-keyed hash-agg
+    (map-side combine; output is distinct-prefix-sized); clusters of
+    >= 2 docs surface with their min-id exemplar."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    prefix = F.array_join(F.slice(F.split(norm, " "), 1, 8), " ")
+    return (
+        d.select("doc_id", F.md5(prefix).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_BOILERPLATE_PREFIXES = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents)
+SELECT md5(array_to_string(w[1:8], ' ')) AS prefix_fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS example_doc
+FROM w
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup tier's reporting
+    face: per exact-fingerprint cluster size, how many clusters and how
+    many docs (so "dedup would drop docs_total - n_clusters rows per
+    size class" reads straight off). Two hash-aggs, the second over the
+    distinct-fingerprint relation; the histogram itself is at most
+    |max cluster size| rows.
+
+    The sf corpus is dup-free, so the gated run unions it with a
+    deterministic replay fixture (every 3rd doc re-ships with doubled
+    whitespace, every 9th a third time with a leading space — the
+    rotated-copy shape the tail daemon dedups) to exercise cluster
+    sizes 1/2/3 AND the whitespace normalization both engines must
+    agree on."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    replay2 = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"),
+    )
+    replay3 = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), "text").alias("text"),
+    )
+    allr = d.unionByName(replay2).unionByName(replay3)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    clusters = allr.select(fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("docs_total"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "docs_total",
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = r"""
+WITH allr AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text || '  ' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT ' ' || text FROM documents WHERE doc_id % 9 = 0),
+fp AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM allr),
+c AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS docs_total
+FROM c
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
 
@@ -4449,7 +4648,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
-    # -- new-in-r6 entries insert HERE (above the r4 block) --
+    # -- new in round 6 --
+    "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
+    "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),
+    "boilerplate_prefixes": (q_boilerplate_prefixes, SQL_BOILERPLATE_PREFIXES),
+    "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     # -- stalest entries next: last driver row r4; the window cut-off
     # falls inside this block, overflow is due in r7 --
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
@@ -4487,11 +4690,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
+    # ---- driver window ends here (first 50) ----
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),
     "span_cut": (q_span_cut, SQL_SPAN_CUT),
-    # ---- driver window ends here (first 50) ----
     "token_budget_cap": (q_token_budget_cap, SQL_TOKEN_BUDGET_CAP),
     "log_templates": (q_log_templates, SQL_LOG_TEMPLATES),
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),

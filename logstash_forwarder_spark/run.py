@@ -162,6 +162,25 @@ def main(argv: list[str] | None = None) -> int:
         "minhash signatures agree on >= PCT%% of slots (default: exact "
         "fingerprint matches only)",
     )
+    p.add_argument(
+        "--dedup-store-join",
+        choices=["broadcast", "colocated"],
+        default="broadcast",
+        metavar="REGIME",
+        help="with --dedup-store: 'broadcast' (default; poll-sized batches "
+        "broadcast against the scanned store) or 'colocated' (backfill "
+        "batches too big to broadcast; the store is maintained as bucketed "
+        "catalog tables and only the batch side shuffles — "
+        "operators/incremental.py BucketedSignatureStore)",
+    )
+    p.add_argument(
+        "--dedup-buckets",
+        type=int,
+        default=16,
+        metavar="N",
+        help="with --dedup-store-join colocated: bucket count for the "
+        "store's co-location tables",
+    )
     p.add_argument("--master", default=None, help="override master (local[N])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -408,9 +427,16 @@ def _tail_loop(spark, args) -> int:
 
     dedup_store = None
     if args.dedup_store:
-        from .operators.incremental import SignatureStore
+        if args.dedup_store_join == "colocated":
+            from .operators.incremental import BucketedSignatureStore
 
-        dedup_store = SignatureStore(args.dedup_store)
+            dedup_store = BucketedSignatureStore(
+                args.dedup_store, spark, n_buckets=args.dedup_buckets
+            )
+        else:
+            from .operators.incremental import SignatureStore
+
+            dedup_store = SignatureStore(args.dedup_store)
 
     state_path = os.path.join(args.out, "_tailstate.json")
     state: dict[str, tuple[int, int]] = {}
@@ -515,6 +541,7 @@ def _tail_loop(spark, args) -> int:
                     id_col="line_id",
                     tau_pct=args.dedup_near_tau,
                     commit=False,
+                    store_join=args.dedup_store_join,
                 )
                 seqs = seqs.join(
                     F.broadcast(

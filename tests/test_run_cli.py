@@ -439,6 +439,52 @@ def test_cli_tail_dedup_store(spark, tmp_path, capsys):
     assert n == 3
 
 
+def test_cli_tail_dedup_store_colocated(spark, tmp_path, capsys):
+    """--dedup-store-join colocated (the backfill regime) dedups the same
+    lines through the BucketedSignatureStore path, including resuming a
+    store started by an earlier invocation."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    store = str(tmp_path / "sigstore_co")
+    out = str(tmp_path / "out")
+    (d / "a.log").write_bytes(b"dup line\nunique a\n")
+    args = [
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "dd", "--dedup-store", store,
+        "--dedup-store-join", "colocated", "--dedup-buckets", "4",
+    ]
+    try:
+        rc = main(args)
+        assert rc == 0
+        p1 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert p1[0]["new_lines"] == 2 and p1[0]["dup_lines"] == 0
+
+        (d / "b.log").write_bytes(b"dup line\nunique b\nunique b\n")
+        rc = main(args)
+        assert rc == 0
+        p2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert p2[0]["new_lines"] == 3 and p2[0]["dup_lines"] == 2
+        assert p2[0]["rows_staged"] == 1
+
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet("
+            f"'{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
+        ).fetchone()[0]
+        assert n == 3
+    finally:
+        import hashlib
+
+        base = "sigstore_" + hashlib.md5(store.encode()).hexdigest()[:10]
+        for t in (f"{base}_fps", f"{base}_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_cli_compact_sinks(spark, tmp_path, capsys):
     """--compact-sinks: manifest-committed run rewritten to fewer files
     with identical reader-visible contents."""
