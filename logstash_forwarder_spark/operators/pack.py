@@ -236,16 +236,27 @@ def export_shards(
     path: str,
     n_shards: int,
     key_col: str = "doc_id",
+    sort_col: str | None = None,
 ) -> None:
     """Materialize the training shards: one directory per shard
     (``shard=N/``), rows routed by the same deterministic hash as
     :func:`shard_plan`, repartitioned BY the shard column so each shard
     writes as one coherent file set (one exchange — the export's only
     shuffle). Readers get the shard column back via hive partitioning
-    with ``basePath``."""
-    (
-        df.withColumn("shard", shard_column(key_col, n_shards))
-        .repartition(n_shards, "shard")
-        .write.partitionBy("shard")
-        .parquet(path)
+    with ``basePath``.
+
+    ``sort_col`` orders rows WITHIN each shard (curriculum export: each
+    worker's stream reads short-to-long when sorted by token count) —
+    a narrow ``sortWithinPartitions`` after the shard exchange, so the
+    curriculum costs NO extra shuffle, and the sorted column's parquet
+    min-max envelopes prune range reads as a side effect (the same
+    sorted-layout argument as plans/layout.py). Order holds per file;
+    consumers reading a whole shard must iterate its files in name
+    order (or re-sort) because a multi-file parquet scan bin-packs
+    splits by size, not name (CLAUDE.md round-5)."""
+    routed = df.withColumn("shard", shard_column(key_col, n_shards)).repartition(
+        n_shards, "shard"
     )
+    if sort_col is not None:
+        routed = routed.sortWithinPartitions("shard", sort_col, key_col)
+    routed.write.partitionBy("shard").parquet(path)

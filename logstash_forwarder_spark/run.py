@@ -131,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --export-shards: shard count (default 64)",
     )
     p.add_argument(
+        "--curriculum",
+        metavar="COL",
+        help="with --export-shards: sort rows within each shard by COL "
+        "(e.g. n_tok for a short-to-long curriculum) — a narrow "
+        "within-shard sort, no extra shuffle",
+    )
+    p.add_argument(
         "--sort-by",
         metavar="COL",
         help="write-time sorted layout: range-partition + sort each sink's "
@@ -219,7 +226,9 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _get_session(args)
         table = read_table(spark, args.out)
-        export_shards(table, args.export_shards, args.shards)
+        export_shards(
+            table, args.export_shards, args.shards, sort_col=args.curriculum
+        )
         plan = {
             int(r.shard): [int(r.n_rows), int(r.weight_total)]
             for r in shard_plan(

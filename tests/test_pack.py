@@ -276,3 +276,28 @@ def test_export_shards_roundtrip(spark, tmp_path):
     import os
 
     assert {f"shard={i}" for i in range(8)} <= set(os.listdir(path))
+
+
+def test_export_shards_curriculum_order(spark, tmp_path):
+    """sort_col: rows inside each shard FILE are ordered by the
+    curriculum column (parquet preserves row order per file; whole-shard
+    consumers iterate files in name order — the bin-packing gotcha is
+    the operator docstring's contract, not re-tested here)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from logstash_forwarder_spark.operators.pack import export_shards
+
+    rows = [(i, (i * 7919) % 513 + 1) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    path = str(tmp_path / "cshards")
+    export_shards(df, path, 4, sort_col="n_tok")
+    files = _glob.glob(f"{path}/shard=*/*.parquet")
+    assert files
+    total = 0
+    for f in files:
+        col = pq.read_table(f, columns=["n_tok"]).column("n_tok").to_pylist()
+        assert col == sorted(col), f
+        total += len(col)
+    assert total == 3_000

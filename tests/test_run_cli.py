@@ -553,3 +553,20 @@ def test_cli_export_shards(spark, tmp_path, capsys):
     per_run = {r.run_id: r.n for r in
                back.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_run == {"e1": 600, "e2": 400}
+
+    # --curriculum: within-shard files are sorted by the column
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    cdir = str(tmp_path / "cshards")
+    rc = main([
+        "--export-shards", cdir, "--shards", "4", "--out", out,
+        "--curriculum", "n_tok",
+    ])
+    assert rc == 0
+    files = _glob.glob(f"{cdir}/shard=*/*.parquet")
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["n_tok"]).column("n_tok").to_pylist()
+        assert col == sorted(col), f
