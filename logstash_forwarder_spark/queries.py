@@ -4608,6 +4608,47 @@ GROUP BY 1
 """
 
 
+def q_lumberjack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lumberjack v1 wire fidelity (operators/lumberjack.py — the
+    reference's literal transport framing, PROTOCOL.md:46-118 /
+    publisher1.go:224-248): documents rendered as the writer's
+    file/host/offset/line pair maps, encoded into 1W + 1C(zlib(1D...))
+    payload blobs, decoded back per the protocol, and re-projected.
+    Hash-equality with the plain relation proves every byte survives
+    the wire — sequences included (coalesce(1) makes the stream
+    connection-like so sequence == global rank; the operator itself is
+    per-partition/no-shuffle)."""
+    from .operators.lumberjack import events_to_frames, frames_to_events
+
+    ev = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("file"),
+        F.lit("lfs-host").alias("host"),
+        F.col("doc_id").cast("string").alias("offset"),
+        F.col("text").alias("line"),
+    )
+    frames = events_to_frames(
+        ev.coalesce(1),
+        ["file", "host", "offset", "line"],
+        order_col="doc_id",
+        frames_per_payload=128,
+    )
+    dec = frames_to_events(frames, ["file", "offset", "line"])
+    return dec.select(
+        F.col("sequence").cast("long").alias("sequence"),
+        F.col("offset").cast("long").alias("doc_id"),
+        F.col("file").alias("source"),
+        "line",
+    )
+
+
+SQL_LUMBERJACK_ROUNDTRIP = r"""
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS sequence,
+       doc_id, source, text AS line
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4653,6 +4694,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),
     "boilerplate_prefixes": (q_boilerplate_prefixes, SQL_BOILERPLATE_PREFIXES),
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
+    "lumberjack_roundtrip": (q_lumberjack_roundtrip, SQL_LUMBERJACK_ROUNDTRIP),
     # -- stalest entries next: last driver row r4; the window cut-off
     # falls inside this block, overflow is due in r7 --
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
@@ -4689,8 +4731,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
-    "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     # ---- driver window ends here (first 50) ----
+    "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "rebalance_corpus": (q_rebalance_corpus, SQL_REBALANCE_CORPUS),

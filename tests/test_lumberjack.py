@@ -1,0 +1,106 @@
+"""Lumberjack v1 codec (operators/lumberjack.py): byte-golden frames per
+PROTOCOL.md:46-118, writer-payload roundtrip, bulk-ack semantics,
+malformed-stream errors, and the distributed Spark encode/decode pair."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from logstash_forwarder_spark.operators.lumberjack import (
+    ack_for,
+    decode_stream,
+    encode_ack_frame,
+    encode_data_frame,
+    encode_payload,
+    encode_window_frame,
+    events_to_frames,
+    frames_to_events,
+)
+
+
+def test_data_frame_bytes_golden():
+    """Hand-assembled bytes per PROTOCOL.md:60-74 (and writeKV,
+    publisher1.go:243-248): '1D', u32 seq, u32 count, len-prefixed k/v."""
+    got = encode_data_frame(7, [("file", "/var/log/a.log"), ("line", "hi")])
+    want = (
+        b"1D"
+        + struct.pack(">II", 7, 2)
+        + struct.pack(">I", 4) + b"file"
+        + struct.pack(">I", 14) + b"/var/log/a.log"
+        + struct.pack(">I", 4) + b"line"
+        + struct.pack(">I", 2) + b"hi"
+    )
+    assert got == want
+
+
+def test_window_ack_golden_and_payload_shape():
+    assert encode_window_frame(1024) == b"1W" + struct.pack(">I", 1024)
+    assert encode_ack_frame(99) == b"1A" + struct.pack(">I", 99)
+    frames = [encode_data_frame(i, [("k", f"v{i}")]) for i in (1, 2, 3)]
+    payload = encode_payload(frames)
+    # 1W sized to the bundle, then 1C + length + zlib of the raw frames
+    assert payload[:6] == b"1W" + struct.pack(">I", 3)
+    assert payload[6:8] == b"1C"
+    (clen,) = struct.unpack_from(">I", payload, 8)
+    assert len(payload) == 12 + clen
+    assert zlib.decompress(payload[12:]) == b"".join(frames)
+
+
+def test_decode_roundtrip_and_bulk_ack():
+    frames = [
+        encode_data_frame(i, [("file", "f"), ("offset", str(i * 10))])
+        for i in (1, 2, 3)
+    ]
+    seen = list(decode_stream(encode_payload(frames)))
+    assert seen[0] == ("W", 3)
+    assert [(t, v[0]) for t, v in seen[1:]] == [("D", 1), ("D", 2), ("D", 3)]
+    assert seen[2][1][1] == {"file": "f", "offset": "20"}
+    # bulk ack: one 1A for the top sequence
+    assert ack_for(iter(seen)) == encode_ack_frame(3)
+    assert ack_for(iter([("W", 3)])) is None
+
+
+def test_unicode_values_survive():
+    f = encode_data_frame(1, [("line", "héllo wörld — ☃")])
+    [(t, (seq, pairs))] = list(decode_stream(f))
+    assert pairs["line"] == "héllo wörld — ☃"
+
+
+def test_malformed_streams_raise():
+    with pytest.raises(ValueError, match="version"):
+        list(decode_stream(b"2D" + struct.pack(">II", 1, 0)))
+    with pytest.raises(ValueError, match="frame type"):
+        list(decode_stream(b"1X"))
+    with pytest.raises((ValueError, struct.error)):
+        list(decode_stream(b"1D" + struct.pack(">I", 1)))  # truncated
+
+
+def test_spark_roundtrip_multi_partition(spark):
+    """Distributed encode/decode: rows split over 4 partitions encode to
+    per-partition payload blobs (sequences 1..n per partition — the
+    connection analog), and decode recovers every row byte-exactly."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 5)).alias("file"),
+        F.lit("h").alias("host"),
+        F.col("id").cast("string").alias("offset"),
+        F.concat(F.lit("line body "), F.col("id")).alias("line"),
+    ).repartition(4, "doc_id")
+    frames = events_to_frames(
+        df, ["file", "host", "offset", "line"],
+        order_col="doc_id", frames_per_payload=64,
+    )
+    dec = frames_to_events(frames, ["file", "offset", "line"]).collect()
+    assert len(dec) == 1000
+    got = {int(r.offset): (r.file, r.line) for r in dec}
+    assert got == {
+        i: (f"src{i % 5}", f"line body {i}") for i in range(1000)
+    }
+    # per-partition sequences: 4 streams each starting at 1
+    seqs = sorted(r.sequence for r in dec)
+    assert seqs[0] == 1 and seqs.count(1) == 4
