@@ -589,6 +589,11 @@ def _tail_loop(spark, args) -> int:
                 dedup_store.append(
                     kept_sigs, f"{base}-p{poll_no}-{fp}", exist_ok=True
                 )
+        if new_state != state:
+            # persist whenever offsets moved — not only on published
+            # lines: a --tail-from-end attach poll advances state with
+            # ZERO new lines, and losing the attach point would re-seek
+            # to a newer EOF next launch and drop interim growth
             state = new_state
             doc = {k2: list(v) for k2, v in state.items()}
             doc["_polls"] = poll_no + 1

@@ -439,6 +439,46 @@ def test_cli_tail_dedup_store(spark, tmp_path, capsys):
     assert n == 3
 
 
+def test_cli_tail_from_end(spark, tmp_path, capsys):
+    """--tail-from-end (the reference's -tail flag): the first poll over a
+    pre-existing log ships nothing but records the attach point; growth
+    after the attach ships from there on the next poll."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    (d / "a.log").write_bytes(b"history one\nhistory two\n")
+
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "te", "--tail-from-end",
+    ])
+    assert rc == 0
+    p1 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert p1[0]["new_lines"] == 0
+
+    with open(d / "a.log", "ab") as f:
+        f.write(b"fresh line\n")
+    rc = main([
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "te", "--tail-from-end",
+    ])
+    assert rc == 0
+    p2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert p2[0]["new_lines"] == 1 and p2[0]["rows_staged"] == 1
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet("
+        f"'{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
+    ).fetchone()[0]
+    assert rows == 1  # history never shipped
+
+
 def test_cli_tail_dedup_store_colocated(spark, tmp_path, capsys):
     """--dedup-store-join colocated (the backfill regime) dedups the same
     lines through the BucketedSignatureStore path, including resuming a

@@ -323,6 +323,25 @@ def main() -> None:
         )
     )
 
+    from logstash_forwarder_spark.operators.stats import curriculum_buckets
+
+    sections.append(
+        (
+            "Length-curriculum shard ranks (stats.curriculum_buckets)",
+            "NO global sort of the data: the only unpartitioned "
+            "Sort/Window consumes the per-length HASH-AGGREGATE histogram "
+            "(bounded domain, broadcast back); the data-sized relation is "
+            "ranked by (len, id-bucket) windows whose partitions never "
+            "exceed one id-bucket — a single length holding every doc "
+            "still ranks in bounded partitions.",
+            plan_of(
+                curriculum_buckets(
+                    docs.select("doc_id", F.col("n_chars").alias("n_tok")), 8
+                )
+            ),
+        )
+    )
+
     from logstash_forwarder_spark.queries import q_grouped_median
 
     sections.append(

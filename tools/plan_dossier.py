@@ -187,6 +187,35 @@ CLAIMS = {
         "ONE n_shards-row hash-agg with map-side combine; the md5 "
         "assignment is row-local inside the scan"
     ),
+    # -- r6 additions --
+    "curriculum_buckets": (
+        "NO global sort of the data: the single-partition window runs "
+        "over the per-length HISTOGRAM hash-agg only (bounded domain); "
+        "the data ranks via (len, id-bucket) windows bounded by one "
+        "id-bucket — skew-proof even when one length holds every doc"
+    ),
+    "source_novelty": (
+        "ONE gram-keyed hash-agg whose collect_set partials are bounded "
+        "by |sources| (map-side combine at distinct-gram grain); the "
+        "per-source rollup re-keys |grams|x|holding sources| rows — no "
+        "gram-gram join, no distinct-then-join double exchange"
+    ),
+    "boilerplate_prefixes": (
+        "prefix fingerprint row-local in the scan; ONE prefix-keyed "
+        "hash-agg with map-side combine — output is distinct-prefix-"
+        "sized"
+    ),
+    "dup_cluster_sizes": (
+        "two hash-aggs: fingerprint clusters (map-side combine over the "
+        "replay union), then the |max cluster size|-row histogram — no "
+        "join anywhere"
+    ),
+    "lumberjack_roundtrip": (
+        "encode and decode are row-local mapInPandas kernels (one "
+        "payload blob per flush bundle); the wire hop adds ZERO "
+        "shuffles — the gated form's coalesce(1) is the connection "
+        "analog, not an operator property"
+    ),
 }
 
 
