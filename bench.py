@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     # round 6 additions
     "curriculum_buckets",
     "source_novelty",
+    "perplexity_tiers",
 ]
 
 

@@ -4608,6 +4608,89 @@ GROUP BY 1
 """
 
 
+def q_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split — THE standard LLM
+    curation move: score every doc with the bigram LM (operators/lm.py,
+    the integer ppm witness), cut each source at its own p33/p66 score
+    quantiles (exact, via the bounded-domain histogram machinery of
+    stats.length_quantiles — ppm scores live in [0, 10^6], so the
+    histogram is domain-sized, never corpus-sized), and report per
+    (source, tier): docs and bigram mass. Higher mean_cond_ppm = better
+    predicted = head.
+
+    Scale shape: scoring per lm_score's dossier entry; the per-source
+    thresholds are a |sources|-row broadcast back onto the scored
+    relation; tier assignment is row-local. No per-source global window
+    ever sees the raw docs."""
+    from .operators.lm import lm_score
+    from .operators.stats import length_quantiles
+
+    d = _docs(spark, sf_dir)
+    scored = lm_score(d).select("doc_id", "n_bigrams", "mean_cond_ppm")
+    withsrc = scored.join(d.select("doc_id", "source"), "doc_id")
+    cuts = length_quantiles(
+        withsrc, group_col="source", value_col="mean_cond_ppm", pcts=(33, 66)
+    ).select("source", "p33", "p66")
+    tier = (
+        F.when(F.col("mean_cond_ppm") > F.col("p66"), F.lit("head"))
+        .when(F.col("mean_cond_ppm") > F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        withsrc.join(F.broadcast(cuts), "source")
+        .withColumn("tier", tier)
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("bigram_total"),
+        )
+    )
+
+
+SQL_PERPLEXITY_TIERS = r"""
+WITH ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM ws, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY w1),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+sc AS (
+  SELECT bg.doc_id, cb.cb, cw.cw
+  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1)),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         sum((cb * 1000000) // cw) // count(*) AS mean_cond_ppm
+  FROM sc GROUP BY doc_id),
+ss AS (
+  SELECT s.doc_id, s.n_bigrams, s.mean_cond_ppm, d.source
+  FROM scored s JOIN documents d USING (doc_id)),
+h AS (SELECT source, mean_cond_ppm, count(*) AS cnt FROM ss
+      GROUP BY source, mean_cond_ppm),
+c AS (SELECT source, mean_cond_ppm,
+             sum(cnt) OVER (PARTITION BY source ORDER BY mean_cond_ppm) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h),
+cuts AS (
+  SELECT source,
+         min(CASE WHEN cum*100 >= 33*n THEN mean_cond_ppm END) AS p33,
+         min(CASE WHEN cum*100 >= 66*n THEN mean_cond_ppm END) AS p66
+  FROM c GROUP BY source)
+SELECT ss.source,
+       CASE WHEN ss.mean_cond_ppm > cuts.p66 THEN 'head'
+            WHEN ss.mean_cond_ppm > cuts.p33 THEN 'middle'
+            ELSE 'tail' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ss.n_bigrams) AS BIGINT) AS bigram_total
+FROM ss JOIN cuts USING (source)
+GROUP BY 1, 2
+"""
+
+
 def q_lumberjack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lumberjack v1 wire fidelity (operators/lumberjack.py — the
     reference's literal transport framing, PROTOCOL.md:46-118 /
@@ -4695,6 +4778,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "boilerplate_prefixes": (q_boilerplate_prefixes, SQL_BOILERPLATE_PREFIXES),
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     "lumberjack_roundtrip": (q_lumberjack_roundtrip, SQL_LUMBERJACK_ROUNDTRIP),
+    "perplexity_tiers": (q_perplexity_tiers, SQL_PERPLEXITY_TIERS),
     # -- stalest entries next: last driver row r4; the window cut-off
     # falls inside this block, overflow is due in r7 --
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
@@ -4730,8 +4814,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
-    "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
     # ---- driver window ends here (first 50) ----
+    "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
