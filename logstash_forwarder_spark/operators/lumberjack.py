@@ -212,3 +212,66 @@ def frames_to_events(frames: DataFrame, keys: list[str]) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return frames.select("payload").mapInPandas(dec, schema=schema)
+
+
+LJ_HARVEST_SCHEMA = (
+    "spool_file string, sequence long, file string, host string, "
+    "offset long, line string"
+)
+
+
+def harvest_lumberjack_files(spark, path_glob: str | list[str]) -> DataFrame:
+    """Ingest lumberjack v1 SPOOL FILES — payload streams at rest (a
+    captured connection, a queue dump, an object-store spool): binaryFile
+    scan + the decode kernel, one row per data frame carrying the
+    writer's standard keys (file/host/offset/line, publisher1.go:236-240;
+    extra pairs are ignored here — ``frames_to_events`` reads arbitrary
+    keys). Discovery/parallelism = the binaryFile glob, same as
+    ``harvest_text_files``; decoding is row-local, zero shuffles."""
+    raw = (
+        spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    )
+
+    def dec(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("spool_file", "sequence", "file", "host", "offset", "line")
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for t, v in decode_stream(bytes(content)):
+                    if t != "D":
+                        continue
+                    seq, pairs = v  # type: ignore[misc]
+                    rows["spool_file"].append(path)
+                    rows["sequence"].append(seq)
+                    rows["file"].append(pairs.get("file"))
+                    rows["host"].append(pairs.get("host"))
+                    off = pairs.get("offset")
+                    try:
+                        rows["offset"].append(int(off))
+                    except (TypeError, ValueError):
+                        rows["offset"].append(None)
+                    rows["line"].append(pairs.get("line"))
+            yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(dec, schema=LJ_HARVEST_SCHEMA)
+
+
+def lumberjack_to_sequences(decoded: DataFrame, *, vocab: int = 2_147_483_647) -> DataFrame:
+    """Bridge decoded lumberjack events into the pipeline's sequences
+    shape — the same contract as ``textlog.lines_to_sequences``, with the
+    reference's (path, offset) event identity taken from the FRAME's
+    file/offset pairs (the shipper's identity, not the spool file's)."""
+    words = F.filter(F.split("line", r"\s+"), lambda w: w != F.lit(""))
+    tokens = F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+    )
+    return decoded.filter(F.col("line").isNotNull()).select(
+        F.concat_ws(":", "file", F.col("offset").cast("string")).alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.regexp_extract("file", r"([^/]+?)(?:\.[^./]*)?(?:\.gz)?$", 1).alias(
+            "source"
+        ),
+    )

@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
         "(sources/textlog.py: line split, whitespace tokenizer)",
     )
     p.add_argument(
+        "--lumberjack-glob",
+        help="ingest lumberjack v1 SPOOL files matching this glob "
+        "(operators/lumberjack.py: 1W/1C/1D payload streams at rest — a "
+        "captured shipper connection or queue dump; event identity is the "
+        "frame's own file:offset pairs, PROTOCOL.md:46-118)",
+    )
+    p.add_argument(
         "--conf",
         help="a logstash-forwarder config file or dir (the reference's own "
         "format: network/files[].paths/fields/'dead time', config.go:23-43) "
@@ -298,13 +305,25 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.textlog import harvest_text_files, lines_to_sequences
 
         seqs = lines_to_sequences(harvest_text_files(spark, args.text_glob))
+    elif args.lumberjack_glob:
+        from .operators.lumberjack import (
+            harvest_lumberjack_files,
+            lumberjack_to_sequences,
+        )
+
+        seqs = lumberjack_to_sequences(
+            harvest_lumberjack_files(spark, args.lumberjack_glob)
+        )
     elif args.conf:
         seqs, dim = _harvest_from_conf(spark, args.conf)
         if seqs is None:
             print(json.dumps({"error": "no live files matched the config"}))
             return 1
     else:
-        p.error("one of --input / --gen / --text-glob / --conf is required")
+        p.error(
+            "one of --input / --gen / --text-glob / --lumberjack-glob / "
+            "--conf is required"
+        )
 
     spec_kwargs = {"out_dir": args.out, "commit_mode": args.commit_mode}
     if args.run_id:

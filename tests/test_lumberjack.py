@@ -104,3 +104,93 @@ def test_spark_roundtrip_multi_partition(spark):
     # per-partition sequences: 4 streams each starting at 1
     seqs = sorted(r.sequence for r in dec)
     assert seqs[0] == 1 and seqs.count(1) == 4
+
+
+def test_harvest_lumberjack_spool_files(spark, tmp_path):
+    """Spool ingest: payload streams at rest decode to one row per data
+    frame with the writer's standard keys; event identity comes from the
+    FRAME's file/offset pairs, not the spool path."""
+    from logstash_forwarder_spark.operators.lumberjack import (
+        harvest_lumberjack_files,
+        lumberjack_to_sequences,
+    )
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    # two spool files = two shipped connections, multi-payload in one file
+    for fno in range(2):
+        frames1 = [
+            encode_data_frame(i + 1, [
+                ("file", f"/var/log/app{fno}.log"), ("host", "h1"),
+                ("offset", str(100 * fno + i)), ("line", f"msg {fno} {i} alpha"),
+            ])
+            for i in range(3)
+        ]
+        frames2 = [
+            encode_data_frame(4, [
+                ("file", f"/var/log/app{fno}.log"), ("host", "h1"),
+                ("offset", str(100 * fno + 3)), ("line", f"msg {fno} 3 beta"),
+                ("type", "apache"),  # extra pair is ignored by harvest
+            ])
+        ]
+        (spool / f"conn{fno}.lj").write_bytes(
+            encode_payload(frames1) + encode_payload(frames2)
+        )
+
+    dec = harvest_lumberjack_files(spark, f"{spool}/*.lj")
+    rows = dec.collect()
+    assert len(rows) == 8
+    assert {r.host for r in rows} == {"h1"}
+    assert {(r.file, r.offset) for r in rows} == {
+        (f"/var/log/app{f}.log", 100 * f + i) for f in range(2) for i in range(4)
+    }
+
+    seqs = lumberjack_to_sequences(dec)
+    got = {r.doc_id: (r.source, r.n_tok) for r in seqs.collect()}
+    assert len(got) == 8
+    assert got["/var/log/app0.log:0"] == ("app0", 4)  # "msg 0 0 alpha"
+    assert all(src in ("app0", "app1") for src, _ in got.values())
+
+
+def test_cli_lumberjack_ingest(spark, tmp_path, capsys):
+    """--lumberjack-glob: spool files flow through the full pipeline with
+    exactly-once resume, carrying the frames' own event identities."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    frames = [
+        encode_data_frame(i + 1, [
+            ("file", "/var/log/web.log"), ("host", "edge1"),
+            ("offset", str(i)),
+            ("line", f"GET /p{i} one two three four five six seven"),
+        ])
+        for i in range(10)
+    ]
+    (spool / "conn.lj").write_bytes(encode_payload(frames))
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "--lumberjack-glob", f"{spool}/*.lj", "--out", out, "--run-id", "lj1",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 10
+
+    import duckdb
+
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/run_id=lj1/sink=*/*.parquet', "
+        "hive_partitioning=true) ORDER BY doc_id"
+    ).fetchall()
+    assert {i[0] for i in ids} == {f"/var/log/web.log:{i}" for i in range(10)}
+
+    # exactly-once: identical re-run stages nothing
+    rc = main([
+        "--lumberjack-glob", f"{spool}/*.lj", "--out", out, "--run-id", "lj1",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_staged"] == 0
