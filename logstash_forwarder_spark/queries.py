@@ -4691,6 +4691,48 @@ GROUP BY 1, 2
 """
 
 
+def q_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression — the logstash throttle/dedup
+    idiom for chatty emitters (drop an event identical to the PREVIOUS
+    event of the same stream; a crash-looping service logging the same
+    line 10^6 times ships once per change of message). Per (user_id)
+    stream ordered by (ts, event_id): keep a row unless its event_type
+    equals the previous row's. ONE user-keyed exchange; the lag window
+    partitions by stream (bounded by per-stream volume — the same
+    partition the sessionizer already uses), never the whole corpus.
+    Output: per (user_id): events in, events kept — the suppression
+    report."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        e.withColumn("_prev", F.lag("event_type").over(w))
+        .withColumn(
+            "_keep",
+            (F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+            .cast("long"),
+        )
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_keep").cast("long").alias("n_kept"),
+    )
+
+
+SQL_CONSECUTIVE_DEDUP = r"""
+WITH l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM l
+GROUP BY user_id
+"""
+
+
 def q_lumberjack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lumberjack v1 wire fidelity (operators/lumberjack.py — the
     reference's literal transport framing, PROTOCOL.md:46-118 /
@@ -4779,6 +4821,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dup_cluster_sizes": (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES),
     "lumberjack_roundtrip": (q_lumberjack_roundtrip, SQL_LUMBERJACK_ROUNDTRIP),
     "perplexity_tiers": (q_perplexity_tiers, SQL_PERPLEXITY_TIERS),
+    "consecutive_dedup": (q_consecutive_dedup, SQL_CONSECUTIVE_DEDUP),
     # -- stalest entries next: last driver row r4; the window cut-off
     # falls inside this block, overflow is due in r7 --
     "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
@@ -4813,8 +4856,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     # ---- driver window ends here (first 50) ----
+    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
     "edit_near_dup": (q_edit_near_dup, SQL_EDIT_NEAR_DUP),
