@@ -4296,7 +4296,7 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
     )
     for a, b in merges:
         expr = f"replace({expr}, ',{a},,{b},', ',{a}{b},')"
-    return f"""
+    return rf"""
 WITH norm AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(
@@ -4782,22 +4782,18 @@ FROM documents
 # entries (proven in VERDICT.md round 3, "What's wrong #1"), while
 # tools/check_oracle.py gates ALL entries every session.
 #
-# ROTATION SCHEDULE (revised r6; VERDICT r5 "What's missing #1" proved
-# the old 2-round invariant arithmetically impossible at 109 > 2×50).
-# The invariant is now STALENESS-ORDERED with a ceil(N/50)-round bound:
-#   * NEW, CHANGED, or previously-RED entries always enter the window
-#     immediately (top).
-#   * Everything else is ordered by last-driver-checked round ASCENDING
-#     (never-checked first, then oldest) — the 50-slot window therefore
-#     always takes the stalest entries, and with N registry entries every
-#     entry gets a driver row at least every ceil(N/50) rounds (3 at
-#     N=109..150).
-#   * tools/check_rotation.py verifies the order against the
-#     CORRECTNESS_r*.json history; tests/test_rotation.py gates it.
-# Round-6 window: the 12 entries that had never had a driver row, then
-# new-in-r6 entries, then last-checked-r4 entries in prior order; the
-# cut-off falls inside the r4 block (overflow due r7). Tail: the r4
-# overflow, then the 50 r5-certified entries.
+# ROTATION (revised r7; VERDICT r6 "What's wrong #1"): the order is no
+# longer hand-maintained. ``registry()`` sorts the names below by
+# last-driver-checked round ascending — never-checked first — via
+# logstash_forwarder_spark/rotation.py, re-derived from the
+# CORRECTNESS_r*.json history at call time, so the window always leads
+# with the stalest entries and every entry gets a driver row at least
+# every ceil(N/50) rounds. The literal order of this dict is only the
+# deterministic TIEBREAK within a staleness class (and where new,
+# never-driver-checked queries should be declared near related ones).
+# tools/check_rotation.py independently verifies the emitted order;
+# tests/test_rotation.py gates it, including against a simulated future
+# CORRECTNESS artifact (round-entry redness is structurally impossible).
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- r6 window: the 12 entries that had NEVER had a driver row
     # (VERDICT r5 "What's missing #1") enter first --
@@ -4856,7 +4852,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_portable": (q_minhash_portable, SQL_MINHASH_PORTABLE),
     "simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
-    # ---- driver window ends here (first 50) ----
+    # (no window marker: the 50-entry driver window is computed by
+    # registry() from the CORRECTNESS history — see rotation.py)
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "curation_ledger": (q_curation_ledger, SQL_CURATION_LEDGER),
     "shift_labels": (q_shift_labels, SQL_SHIFT_LABELS),
@@ -4931,4 +4928,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    return dict(_REGISTRY)
+    """Registry in driver-window order: stalest-first per rotation.py,
+    re-derived from the CORRECTNESS_r*.json history at call time."""
+    from logstash_forwarder_spark.rotation import rotation_order
+
+    return {n: _REGISTRY[n] for n in rotation_order(list(_REGISTRY))}

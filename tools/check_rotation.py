@@ -22,31 +22,16 @@ violations otherwise. Run from the repo root.
 
 from __future__ import annotations
 
-import glob
-import json
 import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WINDOW = 50
-
-
-def load_history(repo_root: str) -> dict[str, int]:
-    """name -> last round with a driver row (rows-only counts: the driver
-    recorded spark_rows even when err == 'no_oracle')."""
-    last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
-        with open(path) as fh:
-            data = json.load(fh)
-        for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("spark_rows") is not None or row.get("rows_match") is not None:
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+from logstash_forwarder_spark.rotation import (  # noqa: E402
+    WINDOW,
+    load_history,
+)
 
 
 def check(names: list[str], last: dict[str, int]) -> list[str]:
