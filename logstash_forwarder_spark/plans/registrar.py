@@ -282,6 +282,156 @@ class Registrar:
                     pass
         return len(files)
 
+    # -- maintenance (Iceberg parity: snapshot expiry + data GC) --------------
+
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int | None = None,
+        older_than: "datetime | None" = None,
+        out_dir: str | None = None,
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` for this layout: at a poll-per-run
+        tail cadence the snapshot log grows without bound — the same
+        metadata-scaling argument that motivated :meth:`compact` — and a
+        retention policy is how a log pipeline ages data out (the
+        reference forwards to a receiver that owns retention; here the
+        registrar IS the receiver's catalog).
+
+        Selection (Iceberg ``expireOlderThan`` + ``retainLast``):
+        candidates are snapshots with ``committed_at < older_than`` (all
+        snapshots when ``older_than`` is None); the ``keep_last`` newest
+        snapshots are ALWAYS retained (default 1 — the current snapshot
+        is never expired). At least one criterion is required.
+
+        Removal is data-first, metadata-second: a crash mid-way leaves
+        the expired set still enumerable from metadata, so a re-run
+        completes the job (idempotent — per-key deletes of already-gone
+        files are no-ops). The index rewrite is the same single-file
+        ``os.replace`` every other commit uses; data GC (with
+        ``out_dir``) deletes per-key and removes only EMPTY dirs — no
+        directory renames anywhere (object-store-safe, enforced under
+        the no-dir-rename shim in tests). Time travel to surviving
+        snapshots is unchanged; reads at an expired snapshot raise, as
+        in Iceberg.
+
+        Replay horizon caveat: expiring a (run_id, sink) also forgets
+        its resume row, so replaying that exact run_id would re-publish.
+        Retention must exceed the replay horizon — for the tail daemon
+        the persisted poll counter in ``_tailstate.json`` already
+        prevents poll run_id reuse, so this is only a concern for
+        manually reused run ids."""
+        if keep_last is None and older_than is None:
+            raise ValueError(
+                "expire_snapshots: pass keep_last and/or older_than"
+            )
+        if keep_last is not None and keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        snaps = SnapshotLog(self).snapshots()
+        retain = 1 if keep_last is None else keep_last
+        protected = {s.snapshot_id for s in snaps[-retain:]}
+        cut = _as_utc(older_than) if older_than is not None else None
+        expired = [
+            s
+            for s in snaps
+            if s.snapshot_id not in protected
+            and (cut is None or s.committed_at < cut)
+        ]
+        report = {
+            "expired": [
+                {"snapshot_id": s.snapshot_id, "run_id": s.run_id, "sink": s.sink}
+                for s in expired
+            ],
+            "kept": len(snaps) - len(expired),
+            "data_files_removed": 0,
+        }
+        if not expired:
+            return report
+        if out_dir is not None:
+            surviving_runs = {
+                s.run_id for s in snaps if s.snapshot_id not in
+                {e.snapshot_id for e in expired}
+            }
+            report["data_files_removed"] = self._gc_expired_data(
+                out_dir, expired, surviving_runs
+            )
+        expired_ids = {s.snapshot_id for s in expired}
+        idx = self._index_table()
+        if idx is not None:
+            import pyarrow.compute as pc
+
+            kept_rows = idx.filter(
+                pc.invert(
+                    pc.is_in(
+                        idx.column("snapshot_id"), pa.array(sorted(expired_ids))
+                    )
+                )
+            )
+            if kept_rows.num_rows != idx.num_rows:
+                if kept_rows.num_rows:
+                    tmp = os.path.join(
+                        self.path, f".tmp-{uuid.uuid4().hex}.parquet"
+                    )
+                    pq.write_table(kept_rows, tmp)
+                    os.replace(tmp, self._index_path())
+                else:
+                    os.remove(self._index_path())
+        for f in self._files():
+            if self._sid_of(f) in expired_ids:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return report
+
+    @staticmethod
+    def _gc_expired_data(
+        out_dir: str, snaps: "list[Snapshot]", surviving_runs: set[str]
+    ) -> int:
+        """Per-key deletion of expired snapshots' published data. A run
+        with SURVIVING sibling snapshots gets sink-level GC only (its
+        manifest and data files; the run dir stays). A FULLY expired run
+        is walked bottom-up — every file deleted per key, every emptied
+        dir rmdir'd — so Spark write residue (`_SUCCESS`, `.crc`,
+        `_metrics/`) goes with it. No directory is ever renamed.
+        Returns files removed."""
+        from .manifest import gc_sink, read_manifest
+
+        n = 0
+        dead_runs = set()
+        for s in snaps:
+            run_dir = os.path.join(out_dir, f"run_id={s.run_id}")
+            if s.run_id not in surviving_runs:
+                dead_runs.add(run_dir)
+                continue
+            if read_manifest(run_dir, s.sink) is not None:
+                n += gc_sink(run_dir, s.sink)
+            else:
+                d = os.path.join(run_dir, f"sink={s.sink}")
+                if os.path.isdir(d):
+                    for f in os.listdir(d):
+                        p = os.path.join(d, f)
+                        if os.path.isfile(p):
+                            os.remove(p)
+                            n += 1
+            try:
+                os.rmdir(os.path.join(run_dir, f"sink={s.sink}"))
+            except OSError:
+                pass
+        for run_dir in sorted(dead_runs):
+            for root, dirs, files in os.walk(run_dir, topdown=False):
+                for f in files:
+                    try:
+                        os.remove(os.path.join(root, f))
+                        n += 1
+                    except OSError:
+                        pass
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return n
+
 
 # -- Iceberg-style snapshot surface ------------------------------------------
 #

@@ -102,6 +102,23 @@ def main(argv: list[str] | None = None) -> int:
         "resume/lineage/snapshots/time-travel preserved), then exit",
     )
     p.add_argument(
+        "--expire-keep-last",
+        type=int,
+        metavar="N",
+        help="maintenance: expire all but the N newest registrar snapshots "
+        "of --out (Iceberg expire_snapshots retainLast; composable with "
+        "--expire-older-than) + per-key GC of the expired runs' published "
+        "data, then exit",
+    )
+    p.add_argument(
+        "--expire-older-than",
+        metavar="ISO_TS",
+        help="maintenance: expire registrar snapshots committed before "
+        "ISO_TS (the current snapshot is always retained; composable with "
+        "--expire-keep-last) + per-key GC of the expired runs' published "
+        "data, then exit",
+    )
+    p.add_argument(
         "--read-as-of",
         metavar="SNAPSHOT_ID",
         help="time-travel read: per-sink row counts of --run-id's published "
@@ -252,6 +269,24 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.expire_keep_last is not None or args.expire_older_than:
+        # pure-metadata maintenance — no SparkSession needed
+        import os
+        from datetime import datetime, timezone
+
+        from .plans.registrar import Registrar
+
+        older = None
+        if args.expire_older_than:
+            older = datetime.fromisoformat(args.expire_older_than)
+            if older.tzinfo is None:
+                older = older.replace(tzinfo=timezone.utc)
+        rep = Registrar(os.path.join(args.out, "_checkpoint")).expire_snapshots(
+            keep_last=args.expire_keep_last, older_than=older, out_dir=args.out
+        )
+        print(json.dumps(rep))
         return 0
 
     if args.snapshots or args.read_as_of:
