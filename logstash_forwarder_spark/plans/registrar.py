@@ -289,6 +289,7 @@ class Registrar:
         *,
         keep_last: int | None = None,
         older_than: "datetime | None" = None,
+        keep_last_runs: int | None = None,
         out_dir: str | None = None,
     ) -> dict:
         """Iceberg ``expire_snapshots`` for this layout: at a poll-per-run
@@ -315,21 +316,41 @@ class Registrar:
         snapshots is unchanged; reads at an expired snapshot raise, as
         in Iceberg.
 
+        ``keep_last_runs`` is the RUN-aware selector (the tail daemon's
+        retention unit: one poll == one run of up to |sinks| snapshots):
+        every snapshot of the K distinct run_ids with the newest commits
+        is retained, regardless of how many sinks each run committed.
+
         Replay horizon caveat: expiring a (run_id, sink) also forgets
         its resume row, so replaying that exact run_id would re-publish.
         Retention must exceed the replay horizon — for the tail daemon
         the persisted poll counter in ``_tailstate.json`` already
         prevents poll run_id reuse, so this is only a concern for
         manually reused run ids."""
-        if keep_last is None and older_than is None:
+        if keep_last is None and older_than is None and keep_last_runs is None:
             raise ValueError(
-                "expire_snapshots: pass keep_last and/or older_than"
+                "expire_snapshots: pass keep_last, older_than and/or "
+                "keep_last_runs"
             )
         if keep_last is not None and keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
+        if keep_last_runs is not None and keep_last_runs < 1:
+            raise ValueError("expire_snapshots: keep_last_runs must be >= 1")
         snaps = SnapshotLog(self).snapshots()
         retain = 1 if keep_last is None else keep_last
         protected = {s.snapshot_id for s in snaps[-retain:]}
+        if keep_last_runs is not None:
+            # runs ordered by their NEWEST snapshot (commit order is the
+            # snapshot order, so last-seen-wins over a single pass)
+            latest_seq: dict[str, int] = {}
+            for s in snaps:
+                latest_seq[s.run_id] = s.sequence_number
+            newest_runs = set(
+                sorted(latest_seq, key=latest_seq.__getitem__)[-keep_last_runs:]
+            )
+            protected |= {
+                s.snapshot_id for s in snaps if s.run_id in newest_runs
+            }
         cut = _as_utc(older_than) if older_than is not None else None
         expired = [
             s

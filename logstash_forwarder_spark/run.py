@@ -119,6 +119,23 @@ def main(argv: list[str] | None = None) -> int:
         "data, then exit",
     )
     p.add_argument(
+        "--expire-keep-last-runs",
+        type=int,
+        metavar="K",
+        help="maintenance: expire all snapshots except those of the K "
+        "newest RUNS (run-aware retention — the unit the tail daemon "
+        "commits in), then exit",
+    )
+    p.add_argument(
+        "--tail-retain-polls",
+        type=int,
+        metavar="K",
+        help="with --tail-glob/--conf --tail: after each poll commit, "
+        "expire registrar snapshots beyond the K newest runs and GC "
+        "their published data — bounded metadata AND storage at daemon "
+        "cadence (Iceberg expire_snapshots in the loop)",
+    )
+    p.add_argument(
         "--read-as-of",
         metavar="SNAPSHOT_ID",
         help="time-travel read: per-sink row counts of --run-id's published "
@@ -271,7 +288,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    if args.expire_keep_last is not None or args.expire_older_than:
+    if (
+        args.expire_keep_last is not None
+        or args.expire_older_than
+        or args.expire_keep_last_runs is not None
+    ):
         # pure-metadata maintenance — no SparkSession needed
         import os
         from datetime import datetime, timezone
@@ -284,7 +305,10 @@ def main(argv: list[str] | None = None) -> int:
             if older.tzinfo is None:
                 older = older.replace(tzinfo=timezone.utc)
         rep = Registrar(os.path.join(args.out, "_checkpoint")).expire_snapshots(
-            keep_last=args.expire_keep_last, older_than=older, out_dir=args.out
+            keep_last=args.expire_keep_last,
+            older_than=older,
+            keep_last_runs=args.expire_keep_last_runs,
+            out_dir=args.out,
         )
         print(json.dumps(rep))
         return 0
@@ -643,6 +667,23 @@ def _tail_loop(spark, args) -> int:
                 dedup_store.append(
                     kept_sigs, f"{base}-p{poll_no}-{fp}", exist_ok=True
                 )
+            if args.tail_retain_polls:
+                # retention at daemon cadence: expire runs beyond the K
+                # newest AFTER this poll's commit — metadata AND published
+                # storage stay bounded over an unbounded poll count.
+                # Replay-safe: the persisted poll counter only grows, so
+                # an expired poll run_id never recurs.
+                from .plans.registrar import Registrar
+
+                exp = Registrar(
+                    os.path.join(args.out, "_checkpoint")
+                ).expire_snapshots(
+                    keep_last_runs=args.tail_retain_polls, out_dir=args.out
+                )
+                if exp["expired"]:
+                    rec["expired_runs"] = sorted(
+                        {e["run_id"] for e in exp["expired"]}
+                    )
         if new_state != state:
             # persist whenever offsets moved — not only on published
             # lines: a --tail-from-end attach poll advances state with

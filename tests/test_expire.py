@@ -166,9 +166,32 @@ def test_expire_rename_mode_data_gc(spark, tmp_out, monkeypatch):
     assert os.path.isdir(os.path.join(tmp_out, "run_id=new"))
 
 
+def test_expire_keep_last_runs_is_run_aware(spark, tmp_out, no_dir_rename):
+    """keep_last_runs retains every snapshot of the K newest RUNS — the
+    tail daemon's retention unit (one poll == one run of up to |sinks|
+    snapshots) — without counting snapshots."""
+    for rid in ("p0", "p1", "p2"):
+        _publish(spark, tmp_out, rid)
+    reg = _reg(tmp_out)
+    rep = reg.expire_snapshots(keep_last_runs=2, out_dir=tmp_out)
+    assert {e["run_id"] for e in rep["expired"]} == {"p0"}
+    left = SnapshotLog(reg).snapshots()
+    assert {s.run_id for s in left} == {"p1", "p2"}
+    # BOTH surviving runs keep their full sink set
+    per_run: dict[str, int] = {}
+    for s in left:
+        per_run[s.run_id] = per_run.get(s.run_id, 0) + 1
+    assert per_run["p1"] == per_run["p2"] >= 2
+    assert not os.path.exists(os.path.join(tmp_out, "run_id=p0"))
+    # idempotent at the same cut
+    assert reg.expire_snapshots(keep_last_runs=2, out_dir=tmp_out)["expired"] == []
+
+
 def test_expire_argument_validation(tmp_path):
     reg = Registrar(str(tmp_path / "_checkpoint"))
-    with pytest.raises(ValueError, match="keep_last and/or older_than"):
+    with pytest.raises(ValueError, match="keep_last, older_than"):
         reg.expire_snapshots()
     with pytest.raises(ValueError, match="keep_last must be >= 1"):
         reg.expire_snapshots(keep_last=0)
+    with pytest.raises(ValueError, match="keep_last_runs must be >= 1"):
+        reg.expire_snapshots(keep_last_runs=0)

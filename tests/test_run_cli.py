@@ -610,3 +610,51 @@ def test_cli_export_shards(spark, tmp_path, capsys):
     for f in files:
         col = pq.read_table(f, columns=["n_tok"]).column("n_tok").to_pylist()
         assert col == sorted(col), f
+
+
+def test_cli_tail_retain_polls(spark, tmp_path, capsys):
+    """--tail-retain-polls K: retention at daemon cadence — after each
+    poll commit only the K newest poll runs survive (snapshots AND
+    published data), while offsets keep resuming correctly (an expired
+    poll's lines are NOT re-shipped: the tail state, not the registrar,
+    owns read positions)."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"poll0 a\npoll0 b\n")
+    out = str(tmp_path / "out")
+    argv = [
+        "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+        "--run-id", "ret", "--tail-retain-polls", "2",
+    ]
+    assert main(argv) == 0
+    capsys.readouterr()
+    with open(log, "ab") as fh:
+        fh.write(b"poll1 c\n")
+    assert main(argv) == 0
+    rec1 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert "expired_runs" not in rec1[0]  # 2 runs live, K=2: nothing due
+    with open(log, "ab") as fh:
+        fh.write(b"poll2 d\n")
+    assert main(argv) == 0
+    rec2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    # the oldest poll run was expired at commit time
+    assert len(rec2[0]["expired_runs"]) == 1
+    assert rec2[0]["expired_runs"][0].startswith("ret-p0-")
+    run_dirs = sorted(
+        p for p in __import__("os").listdir(out) if p.startswith("run_id=")
+    )
+    assert len(run_dirs) == 2
+    assert not any("-p0-" in p for p in run_dirs)
+    # offsets were NOT rewound: no re-ship of expired lines
+    import duckdb
+
+    n, distinct = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/run_id=*/sink=*/*.parquet', hive_partitioning=true)"
+    ).fetchone()
+    assert (n, distinct) == (2, 2)  # polls 1 and 2 only, exactly once
