@@ -179,3 +179,107 @@ def vocab_coverage(
         cum.cast("long").alias("cum_cnt"),
         ppm.cast("long").alias("cum_ppm"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mwl_x100: int = 350,
+    max_mwl_x100: int = 430,
+    min_distinct_stops: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule composite (Rae et
+    al. 2021, A1.1), integer-exact and fully row-local: word-count
+    bounds, mean-word-length bounds (×100 fixed point, explicit floor —
+    the portable integer semantics), and a minimum number of DISTINCT
+    stopwords present (the "contains at least 2 of a small stop list"
+    rule that kills keyword-stuffed and non-linguistic docs). Per-rule
+    flags are emitted alongside the final ``keep`` so curation ledgers
+    can attribute drops to rules.
+
+    100-TB shape: every column is computed inside the scan — zero
+    shuffles, zero UDFs, whole-stage-codegen throughout; the filter
+    composes with any downstream op without a barrier.
+    """
+    from .text import EN_STOPWORDS
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(t).cast("long")
+    mwl = (
+        F.when(n_words > 0, F.floor((n_chars - (n_words - 1)) * 100 / n_words))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    distinct_stops = None
+    for w in EN_STOPWORDS:
+        hit = F.when(F.array_contains(words, w), 1).otherwise(0)
+        distinct_stops = hit if distinct_stops is None else distinct_stops + hit
+    distinct_stops = distinct_stops.cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len_x100"),
+        distinct_stops.alias("distinct_stops"),
+    )
+    r_len = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mwl = (F.col("mean_word_len_x100") >= min_mwl_x100) & (
+        F.col("mean_word_len_x100") <= max_mwl_x100
+    )
+    r_stop = F.col("distinct_stops") >= min_distinct_stops
+    return (
+        base.withColumn("rule_len", r_len.cast("long"))
+        .withColumn("rule_mwl", r_mwl.cast("long"))
+        .withColumn("rule_stop", r_stop.cast("long"))
+        .withColumn("keep", (r_len & r_mwl & r_stop).cast("long"))
+    )
+
+
+def freq_spectrum(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    ngram: int = 2,
+    max_c: int = 50,
+) -> DataFrame:
+    """Type-frequency SPECTRUM (counts-of-counts) over word ``ngram``s:
+    for each occurrence count c ≤ ``max_c`` — plus one tail bucket at
+    ``max_c + 1`` — how many distinct types occur exactly c times and
+    how much token mass they carry. The Zipf diagnostic behind vocab
+    sizing, rare-type cutoffs and Good-Turing smoothing; gram grain
+    (default bigram) because type spread, not unigram vocab, is what
+    the cutoff decisions read.
+
+    100-TB shape: two hash-aggregates, both map-side-combinable — the
+    first keyed by gram (type-bounded, NOT corpus-bounded), the second
+    by the ≤ max_c+1 bucket ids. No window, no sort, no collect.
+    """
+    ws = F.split(_norm(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    if ngram == 1:
+        grams = ws
+    else:
+        # sequence(1, 0) DESCENDS — guard the short-doc case explicitly
+        idx = F.when(
+            F.size(ws) >= ngram, F.sequence(F.lit(0), F.size(ws) - ngram)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(ngram)]
+            ),
+        )
+    typ = df.select(F.explode(grams).alias("gram")).filter(F.col("gram") != "")
+    cnt = typ.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    bucket = F.when(F.col("c") <= max_c, F.col("c")).otherwise(F.lit(max_c + 1))
+    return (
+        cnt.groupBy(bucket.cast("long").alias("freq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("token_mass"),
+        )
+    )

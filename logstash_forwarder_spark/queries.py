@@ -4774,6 +4774,77 @@ FROM documents
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rule composite (operators/
+    curate.py gopher_rules): word-count bounds, mean-word-length bounds
+    (×100 fixed point), minimum DISTINCT stopwords, per-rule flags +
+    final keep. Fully row-local — zero shuffles, codegen throughout."""
+    from .operators.curate import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+# thresholds mirror gopher_rules' defaults; list_contains is DuckDB's
+# array_contains; floor((chars - (words-1)) * 100.0 / words) is the same
+# exact-in-double op sequence Spark runs (numerator < 2^53)
+SQL_GOPHER_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), ' ') AS ws,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(CASE WHEN len(ws) > 0
+                   THEN floor((n_chars - (len(ws) - 1)) * 100.0 / len(ws))
+                   ELSE 0 END AS BIGINT) AS mean_word_len_x100,
+         CAST(CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'a') AS INT)
+            + CAST(list_contains(ws, 'and') AS INT) + CAST(list_contains(ws, 'of') AS INT)
+            + CAST(list_contains(ws, 'to') AS INT) + CAST(list_contains(ws, 'in') AS INT)
+            + CAST(list_contains(ws, 'is') AS INT) + CAST(list_contains(ws, 'it') AS INT)
+           AS BIGINT) AS distinct_stops
+  FROM w)
+SELECT doc_id, n_words, mean_word_len_x100, distinct_stops,
+       CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS rule_len,
+       CAST(CASE WHEN mean_word_len_x100 BETWEEN 350 AND 430 THEN 1 ELSE 0 END AS BIGINT) AS rule_mwl,
+       CAST(CASE WHEN distinct_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rule_stop,
+       CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                  AND mean_word_len_x100 BETWEEN 350 AND 430
+                  AND distinct_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+def q_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-frequency spectrum over word bigrams — counts-of-counts with
+    a tail bucket (operators/curate.py freq_spectrum): the Zipf
+    diagnostic behind vocab sizing / Good-Turing. Two map-side-
+    combinable hash-aggs, the first type-bounded, the second ≤ max_c+1
+    groups."""
+    from .operators.curate import freq_spectrum
+
+    return freq_spectrum(_docs(spark, sf_dir), ngram=2, max_c=50)
+
+
+SQL_FREQ_SPECTRUM = r"""
+WITH words AS (
+  SELECT string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT w[i] || ' ' || w[i+1] AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2),
+cnt AS (
+  SELECT gram, count(*) AS c FROM g WHERE gram <> '' GROUP BY gram)
+SELECT CAST(CASE WHEN c <= 50 THEN c ELSE 51 END AS BIGINT) AS freq,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS token_mass
+FROM cnt
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4810,6 +4881,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "hll_by_source": (q_hll_by_source, SQL_HLL_BY_SOURCE),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    # -- new in round 7 (never driver-checked → rotation puts them at the
+    # head of the window automatically) --
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "freq_spectrum": (q_freq_spectrum, SQL_FREQ_SPECTRUM),
     # -- new in round 6 --
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),

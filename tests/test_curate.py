@@ -211,3 +211,76 @@ def test_curation_ledger_materialized_single_kernel_pass(spark):
     auto_big = q_curation_ledger(spark, "/root/testdata/sf0.1")
     auto_big.collect()
     assert shingle_kernels(auto_big) == []
+
+
+def test_gopher_rules_hand_corpus(spark):
+    """Hand-checkable rules: word-count bounds, mean-word-length ×100
+    bounds, distinct-stopword floor — per-rule flags + final keep."""
+    from logstash_forwarder_spark.operators.curate import gopher_rules
+
+    rows = [
+        # 5 words, mwl = (22-4)*100/5 = 360, stops {the, a} = 2
+        (1, "the a zebra walks home"),
+        # 3 words, no stops
+        (2, "spark shuffles data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in gopher_rules(
+            df, min_words=4, max_words=10, min_mwl_x100=300,
+            max_mwl_x100=400, min_distinct_stops=2,
+        ).collect()
+    }
+    assert got[1]["n_words"] == 5
+    assert got[1]["mean_word_len_x100"] == 360
+    assert got[1]["distinct_stops"] == 2
+    assert (got[1]["rule_len"], got[1]["rule_mwl"], got[1]["rule_stop"]) == (1, 1, 1)
+    assert got[1]["keep"] == 1
+    assert got[2]["rule_len"] == 0  # 3 < min_words
+    assert got[2]["distinct_stops"] == 0 and got[2]["rule_stop"] == 0
+    assert got[2]["keep"] == 0
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    """Row-local composite: scan → project only; no Exchange, no
+    aggregate, no UDF stage anywhere in the physical plan."""
+    from logstash_forwarder_spark.operators.curate import gopher_rules
+
+    df = gopher_rules(_corpus(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "HashAggregate", "MapInArrow", "ArrowEvalPython"):
+        assert node not in plan, node
+
+
+def test_freq_spectrum_hand_corpus(spark):
+    """Bigram counts-of-counts on a hand-countable corpus, tail bucket
+    included."""
+    from logstash_forwarder_spark.operators.curate import freq_spectrum
+
+    rows = [
+        (1, "x y x y"),   # bigrams: "x y"(×2 here: pos0, pos2), "y x"(×1)
+        (2, "x y"),       # "x y" again → "x y" total 3
+        (3, "z"),         # 1 word → no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.freq: (r.n_types, r.token_mass)
+        for r in freq_spectrum(df, ngram=2, max_c=2).collect()
+    }
+    # "y x" occurs once; "x y" occurs 3 times → tail bucket (max_c+1 = 3)
+    assert got[1] == (1, 1)
+    assert got[3] == (1, 3)
+    assert 2 not in got
+
+
+def test_freq_spectrum_two_bounded_aggregates(spark):
+    """Plan shape: exactly two aggregate pairs (partial+final per agg),
+    no window, no sort, no python stage."""
+    from logstash_forwarder_spark.operators.curate import freq_spectrum
+
+    df = freq_spectrum(_corpus(spark))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
