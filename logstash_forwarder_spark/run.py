@@ -127,6 +127,15 @@ def main(argv: list[str] | None = None) -> int:
         "commits in), then exit",
     )
     p.add_argument(
+        "--ship-lumberjack",
+        metavar="HOST:PORT",
+        help="with --text-glob: ship the harvested lines to a live "
+        "lumberjack v1 receiver instead of the parquet sinks — one "
+        "connection per partition, window + zlib envelope per flush "
+        "bundle, blocking on bulk acks (the reference's publish loop "
+        "over a real socket; operators/lumberjack_net.py), then exit",
+    )
+    p.add_argument(
         "--tail-retain-polls",
         type=int,
         metavar="K",
@@ -349,6 +358,47 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _get_session(args)
+
+    if args.ship_lumberjack:
+        # wire-ship surface: harvest → lumberjack socket, no parquet sinks.
+        # The reference's whole job in one flag (harvester → publisher).
+        import socket as _socket
+
+        from pyspark.sql import functions as F
+
+        from .operators.lumberjack_net import publish_lumberjack
+        from .sources.textlog import harvest_text_files
+
+        if not args.text_glob:
+            p.error("--ship-lumberjack requires --text-glob")
+        host, _, port_s = args.ship_lumberjack.rpartition(":")
+        events = (
+            harvest_text_files(spark, args.text_glob)
+            .filter("is_complete")
+            .select(
+                "file",
+                F.lit(_socket.gethostname()).alias("host"),
+                F.col("byte_offset").cast("string").alias("offset"),
+                "line",
+            )
+        )
+        stats = publish_lumberjack(
+            events,
+            host,
+            int(port_s),
+            pair_cols=["file", "host", "offset", "line"],
+            order_col="offset",
+        )
+        print(
+            json.dumps(
+                {
+                    "shipped": sum(s["n_events"] for s in stats),
+                    "acked": sum(s["acked"] for s in stats),
+                    "connections": len(stats),
+                }
+            )
+        )
+        return 0
 
     if args.tail and not args.conf:
         p.error("--tail requires --conf (use --tail-glob for a bare glob)")

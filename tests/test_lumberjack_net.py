@@ -183,3 +183,37 @@ def test_read_frames_matches_batch_decoder(tmp_path):
     with pytest.raises(ValueError, match="mid-frame|truncated"):
         list(read_frames(io.BytesIO(payload[: len(payload) - 3])))
     assert list(read_frames(io.BytesIO(b""))) == []
+
+
+def test_cli_ship_lumberjack(spark, tmp_path, capsys):
+    """--ship-lumberjack HOST:PORT — the reference's whole job in one
+    flag: harvest a glob, ship every complete line to a live receiver,
+    ack-gated."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("one 1\ntwo 2\npartial", encoding="utf-8")
+    (d / "b.log").write_text("three 3\n", encoding="utf-8")
+    server = LumberjackServer()
+    try:
+        rc = main([
+            "--text-glob", f"{d}/*.log",
+            "--ship-lumberjack", f"{server.host}:{server.port}",
+            "--out", str(tmp_path / "unused"),
+        ])
+        assert rc == 0
+        rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # the held-back partial line must NOT ship (reference semantics)
+        assert rec["shipped"] == 3 and rec["acked"] >= 0
+        got = {(e["file"].rsplit("/", 1)[-1], e["offset"], e["line"])
+               for e in server.events}
+        assert got == {
+            ("a.log", "0", "one 1"),
+            ("a.log", "6", "two 2"),
+            ("b.log", "0", "three 3"),
+        }
+    finally:
+        server.close()
