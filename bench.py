@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "curriculum_buckets",
     "source_novelty",
     "perplexity_tiers",
+    # round 7 additions
+    "gopher_quality",
+    "freq_spectrum",
+    "centroid_outliers",
 ]
 
 

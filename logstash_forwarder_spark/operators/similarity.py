@@ -973,3 +973,143 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid outliers (embedding-based curation filter)
+# ---------------------------------------------------------------------------
+
+
+def _label_stats_arrow(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """mapInArrow partial centroid stats: per batch, one row per label
+    present with the member count and elementwise vector sum — the same
+    bounded-partials pattern as _cell_stats_arrow, keyed by the LABEL
+    column instead of a nearest-centroid assignment. Output is bounded
+    by n_batches × |labels| rows, never by |df|."""
+    import numpy as np
+    import pyarrow as pa
+
+    def op(batches):
+        for b in batches:
+            labs = b.column(b.schema.get_field_index(label_col)).to_numpy(
+                zero_copy_only=False
+            )
+            col = b.column(b.schema.get_field_index(vec_col))
+            offs = col.offsets.to_numpy(zero_copy_only=True)
+            flat = col.values.to_numpy(zero_copy_only=True)
+            if not len(labs):
+                continue
+            dim = int(offs[1] - offs[0])
+            base, end = int(offs[0]), int(offs[-1])
+            mat = flat[base:end].reshape(-1, dim).astype(np.float64)
+            present, inv = np.unique(labs, return_inverse=True)
+            cnt = np.bincount(inv)
+            order = np.argsort(inv, kind="stable")
+            csum = np.cumsum(mat[order], axis=0)
+            ends = np.cumsum(cnt) - 1
+            sums = csum[ends]
+            sums[1:] -= csum[ends[:-1]]
+            vsum = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(present) + 1, dtype=np.int64) * dim, pa.int32()
+                ),
+                pa.array(sums.reshape(-1), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(present.astype(np.int32), pa.int32()),
+                    pa.array(cnt.astype(np.int64), pa.int64()),
+                    vsum,
+                ],
+                names=["label", "cnt", "vsum"],
+            )
+
+    return df.select(label_col, vec_col).mapInArrow(
+        op, schema="label int, cnt long, vsum array<double>"
+    )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    threshold_x1e4: int = 0,
+    max_partial_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-based curation filter: cosine of every vector to its own
+    label's centroid, quantized to 1e-4 fixed point, plus an outlier
+    flag (``cos_x1e4 < threshold_x1e4``) — the per-class mislabel /
+    off-distribution detector (the CLIP-score-style filter for labeled
+    or per-source embedding collections).
+
+    Two Arrow kernel passes, zero joins:
+    1. partial (cnt, vector-sum) per label per batch — the ONLY driver
+       pull is these partials, bounded by n_batches × |labels| (guarded
+       by ``max_partial_rows``, never data-sized);
+    2. a broadcast |labels|×dim centroid matrix scores every row with
+       one einsum per batch (same shape as score_pairs_arrow).
+
+    Precision contract: centroids are float64 partial-sum means, so the
+    last-ulp rounding differs from the oracle's streaming avg; the 1e-4
+    quantization makes a flip require a cosine within ~1e-12 of a
+    bucket boundary. The outlier flag derives from the QUANTIZED value
+    on both sides, so flag and score can never disagree."""
+    import numpy as np
+
+    partials = _label_stats_arrow(df, label_col, vec_col).collect()
+    if len(partials) > max_partial_rows:
+        raise ValueError(
+            f"label_centroid_outliers: {len(partials)} partial rows exceed "
+            f"max_partial_rows={max_partial_rows} — |labels| is not "
+            "metadata-sized; shard by label range first"
+        )
+    agg: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in partials:
+        vec = np.asarray(r["vsum"], dtype=np.float64)
+        c, v = agg.get(r["label"], (0, None))
+        agg[r["label"]] = (c + r["cnt"], vec if v is None else v + vec)
+    labels_sorted = np.array(sorted(agg), dtype=np.int64)
+    cmat = np.stack(
+        [agg[int(l)][1] / agg[int(l)][0] for l in labels_sorted]
+    )
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    thr = int(threshold_x1e4)
+
+    def op(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            labs = b.column(1).to_numpy(zero_copy_only=False)
+            col = b.column(2)
+            offs = col.offsets.to_numpy(zero_copy_only=True)
+            flat = col.values.to_numpy(zero_copy_only=True)
+            if not len(ids):
+                continue
+            dim = int(offs[1] - offs[0])
+            base, end = int(offs[0]), int(offs[-1])
+            mat = flat[base:end].reshape(-1, dim).astype(np.float64)
+            cidx = np.searchsorted(labels_sorted, labs)
+            c = cmat[cidx]
+            dots = np.einsum("ij,ij->i", mat, c)
+            n1 = np.linalg.norm(mat, axis=1)
+            n1[n1 == 0] = 1.0
+            cos = dots / (n1 * cnorm[cidx])
+            cosq = np.floor(cos * 10000.0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(labs.astype(np.int32), pa.int32()),
+                    pa.array(cosq, pa.int64()),
+                    pa.array((cosq < thr).astype(np.int64), pa.int64()),
+                ],
+                names=[id_col, label_col, "cos_x1e4", "outlier"],
+            )
+
+    return df.select(id_col, label_col, vec_col).mapInArrow(
+        op,
+        schema=f"{id_col} long, {label_col} int, cos_x1e4 long, outlier long",
+    )

@@ -4845,6 +4845,45 @@ GROUP BY 1
 """
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outliers (operators/similarity.py
+    label_centroid_outliers): cosine of every embedding to its own
+    label's centroid, 1e-4 fixed point + outlier flag — the embedding-
+    based mislabel/off-distribution curation filter. Two Arrow kernel
+    passes; the only driver pull is |labels|-bounded partials."""
+    from .operators.similarity import label_centroid_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroid_outliers(emb, threshold_x1e4=0)
+
+
+# centroid = per-(label, i) avg; cosine quantized to 1e-4 on BOTH sides
+# and the flag derives from the QUANTIZED value (operator docstring's
+# precision contract). generate_series unnest — WITH ORDINALITY is not
+# implemented in this DuckDB.
+SQL_CENTROID_OUTLIERS = r"""
+WITH u AS (
+  SELECT vec_id, label, i, embedding[i] AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+c AS (
+  SELECT label, i, avg(v) AS cv FROM u GROUP BY label, i),
+s AS (
+  SELECT u.vec_id, u.label,
+         sum(u.v * c.cv) AS dot,
+         sum(u.v * u.v) AS n1,
+         sum(c.cv * c.cv) AS n2
+  FROM u JOIN c ON u.label = c.label AND u.i = c.i
+  GROUP BY u.vec_id, u.label),
+q AS (
+  SELECT vec_id, label,
+         CAST(floor(dot / sqrt(n1 * n2) * 10000) AS BIGINT) AS cos_x1e4
+  FROM s)
+SELECT vec_id, CAST(label AS INT) AS label, cos_x1e4,
+       CAST(CASE WHEN cos_x1e4 < 0 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4885,6 +4924,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # head of the window automatically) --
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "freq_spectrum": (q_freq_spectrum, SQL_FREQ_SPECTRUM),
+    "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     # -- new in round 6 --
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),

@@ -354,3 +354,56 @@ def test_ivf_pq_pruned_recall(spark):
         recalls.append(len(g & set(want[qid])) / 5)
     assert sum(recalls) / len(recalls) >= 0.3
     assert any(r.query_id == 0 and r.neighbor_id == 999 for r in got)
+
+
+def test_label_centroid_outliers_planted(spark):
+    """A vector pointing AWAY from its label's tight cluster must flag;
+    cluster members must not. Exact expectations from numpy."""
+    import numpy as np
+
+    from logstash_forwarder_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for label, base in ((0, np.array([1.0, 0, 0, 0])), (1, np.array([0, 1.0, 0, 0]))):
+        for _ in range(10):
+            v = base + rng.normal(0, 0.05, 4)
+            rows.append((vid, label, [float(x) for x in v]))
+            vid += 1
+    # planted: anti-aligned with label 0's cluster
+    rows.append((vid, 0, [-1.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).repartition(3)
+    got = {r.vec_id: r for r in label_centroid_outliers(df).collect()}
+    assert len(got) == 21
+    assert got[vid].outlier == 1 and got[vid].cos_x1e4 < 0
+    flagged = [i for i, r in got.items() if r.outlier == 1]
+    assert flagged == [vid]
+    # members score high
+    assert all(got[i].cos_x1e4 > 9000 for i in range(10))
+
+
+def test_label_centroid_outliers_is_two_kernel_passes(spark):
+    """Scale shape: the scoring plan is scan → ONE MapInArrow (no join,
+    no exchange — centroids ride a broadcast closure); the only driver
+    pull is the |labels|-bounded partials, guarded loudly."""
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.operators.similarity import (
+        label_centroid_outliers,
+    )
+
+    rows = [(i, i % 3, [float(i), 1.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = label_centroid_outliers(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1
+    assert "Exchange" not in plan and "Join" not in plan
+    with _pytest.raises(ValueError, match="max_partial_rows"):
+        label_centroid_outliers(df, max_partial_rows=0)
