@@ -4845,6 +4845,69 @@ GROUP BY 1
 """
 
 
+def q_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo-type revenue share: lineitem ⋈ part on
+    partkey (UNHINTED: AQE/statistics broadcast the part side at gate SF
+    and fall back to a shuffle join at 100× — part grows with scale,
+    regional_revenue's r4 lesson), 1995 shipdate pushdown on the fact
+    scan, conditional aggregation, and a basis-points share in pure
+    BIGINT (guarded integer division — no float ever feeds a compared
+    column). Closes the one driver table no query exercised (part)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    cents = F.expr(_CENTS_EXPR)
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("p_type") == "ECONOMY", cents).otherwise(0))
+            .cast("long")
+            .alias("economy_cents"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "revenue_cents",
+        "economy_cents",
+        F.when(
+            F.col("revenue_cents") > 0,
+            F.expr("economy_cents * 10000 DIV revenue_cents"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("economy_share_bps"),
+    )
+
+
+SQL_PART_TYPE_SHARE = f"""
+WITH j AS (
+  SELECT p_brand, p_type, {_CENTS_SQL} AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01')
+SELECT p_brand,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN cents ELSE 0 END) AS BIGINT)
+         AS economy_cents,
+       CAST(CASE WHEN sum(cents) > 0
+                 THEN (sum(CASE WHEN p_type = 'ECONOMY' THEN cents ELSE 0 END)
+                       * 10000) // sum(cents)
+                 ELSE 0 END AS BIGINT) AS economy_share_bps
+FROM j
+GROUP BY p_brand
+"""
+
+
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid outliers (operators/similarity.py
     label_centroid_outliers): cosine of every embedding to its own
@@ -4925,6 +4988,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "freq_spectrum": (q_freq_spectrum, SQL_FREQ_SPECTRUM),
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
+    "part_type_share": (q_part_type_share, SQL_PART_TYPE_SHARE),
     # -- new in round 6 --
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),
