@@ -144,6 +144,10 @@ class LumberjackServer:
                 continue
             except OSError:
                 return
+            # accepted sockets INHERIT the listener's 0.2 s accept-poll
+            # timeout (CPython semantics) — a writer pausing >0.2 s
+            # between bytes would otherwise kill the connection mid-frame
+            conn.settimeout(None)
             if self._ssl_context is not None:
                 try:
                     conn = self._ssl_context.wrap_socket(conn, server_side=True)

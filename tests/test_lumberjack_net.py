@@ -217,3 +217,25 @@ def test_cli_ship_lumberjack(spark, tmp_path, capsys):
         }
     finally:
         server.close()
+
+
+def test_server_survives_slow_writer():
+    """Accepted sockets must be BLOCKING: CPython makes accept()ed
+    connections inherit the listener's 0.2 s accept-poll timeout, which
+    would kill a connection whose writer pauses between frames."""
+    import socket as s
+    import time
+
+    server = LumberjackServer()
+    try:
+        conn = s.create_connection((server.host, server.port))
+        conn.sendall(encode_payload([encode_data_frame(1, [("line", "a")])]))
+        time.sleep(0.5)  # longer than the accept-poll timeout
+        conn.sendall(encode_payload([encode_data_frame(2, [("line", "b")])]))
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline and len(server.events) < 2:
+            time.sleep(0.05)
+        assert [e["line"] for e in server.events] == ["a", "b"]
+    finally:
+        conn.close()
+        server.close()
