@@ -907,3 +907,82 @@ def portable_sketches(
     return df.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} {id_type}, {sig_cols}, simhash32 bigint"
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    w: int = 4,
+    p: int = 1073741789,  # the sketch witnesses' prime (sketch.py P)
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): per position, hash the word
+    k-gram; over every window of ``w`` consecutive hashes select the
+    MINIMUM, rightmost occurrence on ties; a selection is recorded once
+    per position. Guarantee: any match of ≥ w+k-1 words between two
+    docs shares at least one fingerprint; expected density 2/(w+1) —
+    the local fingerprinting primitive behind plagiarism detection and
+    position-aware near-dup.
+
+    One output row per selected fingerprint: (id, pos, fp). Docs with
+    fewer than w k-grams winnow their single truncated window (the
+    standard short-doc convention); docs shorter than k words emit
+    nothing.
+
+    Engine-portable by construction: the hash is the sketch witnesses'
+    md5-mod-P family, and the rightmost-min tie rule is encoded in a
+    single BIGINT key ``h * 2^33 + (2^33 - 1 - pos)`` whose window MIN
+    both engines compute identically (h < 2^30 keeps the key within
+    int64; pos is bounded by 2^33 — loudly asserted). Row-local
+    mapInPandas, zero shuffle; at production scale the same per-row
+    loop folds into the Arrow shingle kernel like the minhash fast
+    path.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    M = 1 << 33
+
+    def op(batches):
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            fps: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = " ".join(("" if text is None else str(text)).lower().split())
+                ws = t.split(" ") if t else []
+                m = len(ws) - k + 1
+                if m <= 0:
+                    continue
+                assert m < M, "winnow_fingerprints: doc exceeds 2^33 grams"
+                keys = [
+                    (
+                        int(
+                            hashlib.md5(
+                                " ".join(ws[i : i + k]).encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % p
+                    )
+                    * M
+                    + (M - 1 - i)
+                    for i in range(m)
+                ]
+                sel = set()
+                for e in range(min(w, m) - 1, m):
+                    sel.add(min(keys[max(0, e - w + 1) : e + 1]))
+                for key in sorted(sel, key=lambda x: M - 1 - (x % M)):
+                    ids.append(did)
+                    poss.append(M - 1 - (key % M))
+                    fps.append(key // M)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} {id_type}, pos long, fp long"
+    )

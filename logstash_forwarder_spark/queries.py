@@ -4947,6 +4947,56 @@ FROM q
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints —
+    Schleimer/Wilkerson/Aiken MOSS, k=3, w=4): per doc, the selected
+    (pos, fp) local fingerprints with the rightmost-min tie rule.
+    Row-local kernel, zero shuffle; the md5-mod-P portable hash family
+    plus a single BIGINT min-key make DuckDB reproduce every selection
+    bit-exactly."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
+
+# Window semantics mirror the kernel exactly: per-position k-gram hash
+# (md5-mod-P), rightmost-min tie rule encoded as min over
+# key = h * 2^33 + (2^33 - 1 - pos), windows of w=4 hashes evaluated at
+# END positions e >= min(w, m) - 1 (one truncated window when a doc has
+# fewer than w grams), DISTINCT selections per doc.
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         i - 1 AS pos,
+         len(w) - 2 AS m,
+         ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+           % 1073741789 AS h
+  FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3),
+keyd AS (
+  SELECT doc_id, pos, m,
+         h * 8589934592 + (8589934591 - pos) AS key
+  FROM g),
+win AS (
+  SELECT doc_id, pos, m,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+  FROM keyd),
+sel AS (
+  SELECT DISTINCT doc_id, wkey
+  FROM win
+  WHERE pos >= CASE WHEN m >= 4 THEN 3 ELSE m - 1 END)
+SELECT doc_id,
+       CAST(8589934591 - (wkey % 8589934592) AS BIGINT) AS pos,
+       CAST(wkey // 8589934592 AS BIGINT) AS fp
+FROM sel
+"""
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -4989,6 +5039,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "freq_spectrum": (q_freq_spectrum, SQL_FREQ_SPECTRUM),
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     "part_type_share": (q_part_type_share, SQL_PART_TYPE_SHARE),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     # -- new in round 6 --
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),

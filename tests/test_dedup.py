@@ -498,3 +498,62 @@ def test_span_cut_property_vs_python_oracle(spark):
             for r in span_cut(df, n=n).collect()
         }
         assert got == exp, (trial, n, docs)
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing GUARANTEE (Schleimer et al. §2): any shared run of
+    >= w + k - 1 words between two docs shares at least one fingerprint
+    VALUE; and selection density stays near the expected 2/(w+1)."""
+    import random
+
+    from logstash_forwarder_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    shared = " ".join(rng.choice(vocab) for _ in range(6))  # w+k-1 = 6
+    doc_a = " ".join(rng.choice(vocab) for _ in range(30)) + " " + shared
+    doc_b = shared + " " + " ".join(rng.choice(vocab) for _ in range(30))
+    doc_c = " ".join(rng.choice(vocab) for _ in range(40))  # unrelated
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    # density: m grams -> roughly 2m/(w+1) selections, never more than m
+    for d, text in ((1, doc_a), (2, doc_b), (3, doc_c)):
+        m = len(text.split()) - 2
+        assert 0 < len(by_doc[d]) <= m
+
+
+def test_winnow_short_docs_and_ties(spark):
+    """Docs shorter than k words emit nothing; docs with fewer than w
+    grams winnow their single truncated window; identical-hash ties pick
+    the RIGHTMOST position (verified with a repeated gram)."""
+    from logstash_forwarder_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "just two"),              # < k words -> nothing
+            (2, "alpha beta gamma"),      # exactly 1 gram -> 1 selection
+            (3, "x y z x y z x y z x y z"),  # periodic: repeated grams tie
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0][0] == 0
+    # doc 3: grams at pos 0..9 cycle 3 values; within any window the min
+    # hash appears twice for some windows — selections must be at the
+    # RIGHTMOST of tied positions, so positions of one fp value differ
+    # by the period (3), never adjacent
+    pos_by_fp: dict[int, list] = {}
+    for pos, fp in sorted(by_doc[3]):
+        pos_by_fp.setdefault(fp, []).append(pos)
+    for positions in pos_by_fp.values():
+        assert all(b - a >= 3 for a, b in zip(positions, positions[1:]))
