@@ -986,3 +986,47 @@ def winnow_fingerprints(
     return df.select(id_col, text_col).mapInPandas(
         op, schema=f"{id_col} {id_type}, pos long, fp long"
     )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Position-aware near-dup candidate pairs from winnowing
+    fingerprints: docs sharing ≥ ``min_shared`` selected fingerprints —
+    MOSS's match step as a relation. Same scale discipline as
+    ngram_jaccard_pairs: fingerprints seen in > ``max_fp_df`` docs are
+    dropped BEFORE the self-join (they dominate fan-out while carrying
+    no discrimination), so candidate generation is one fp-keyed,
+    DF-capped exchange — O(near-dups), never O(n²). Winnowing density
+    2/(w+1) means this moves ~60% fewer keys than the full-shingle
+    Jaccard join at the same k."""
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    cap = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fdf"))
+        .filter(F.col("fdf") <= max_fp_df)
+        .select("fp")
+    )
+    fps = fps.join(cap, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -4997,6 +4997,34 @@ FROM sel
 """
 
 
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware near-dup pairs from winnowing fingerprints
+    (operators/dedup.py winnow_near_dup_pairs — MOSS's match step):
+    docs sharing ≥3 selected fingerprints, DF-capped before the
+    self-join. One fp-keyed exchange; density 2/(w+1) moves far fewer
+    keys than the full-shingle Jaccard join."""
+    from .operators.dedup import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=3, max_fp_df=50
+    )
+
+
+SQL_WINNOW_NEAR_DUP = (
+    "WITH fps AS (SELECT DISTINCT doc_id, fp FROM ("
+    + SQL_WINNOW_FINGERPRINTS
+    + r""")),
+dfc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp) WHERE dfc.c <= 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # the public registry
 # ---------------------------------------------------------------------------
@@ -5040,6 +5068,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     "part_type_share": (q_part_type_share, SQL_PART_TYPE_SHARE),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_near_dup": (q_winnow_near_dup, SQL_WINNOW_NEAR_DUP),
     # -- new in round 6 --
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "source_novelty": (q_source_novelty, SQL_SOURCE_NOVELTY),
