@@ -313,7 +313,11 @@ def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> Data
 
 
 def read_table(
-    spark: SparkSession, out_dir: str, sinks: list[str] | None = None
+    spark: SparkSession,
+    out_dir: str,
+    sinks: list[str] | None = None,
+    *,
+    dedup_on: str | None = None,
 ) -> DataFrame:
     """The whole output table — every run, commit-protocol-aware.
 
@@ -325,7 +329,18 @@ def read_table(
     manifest exists, the directory otherwise (rename mode, where
     publish IS the atomic move) — and keeps both hive partition columns
     (``run_id``, ``sink``) via basePath. This is the consumer surface
-    for the tail daemon's many per-poll runs."""
+    for the tail daemon's many per-poll runs.
+
+    ``dedup_on``: the consumer half of the tail loop's documented
+    at-least-once recovery window (a crash between commit and state
+    write, PLUS growth before restart, re-commits the old lines bundled
+    with the growth under a fresh run_id). Passing the replay-stable
+    identity column (``doc_id`` — file:line_no for harvested text)
+    collapses such replays to ONE row each, keeping the row from the
+    minimum run_id (deterministic; which replica survives is
+    irrelevant, the payloads are identical by construction). Same
+    single-shuffle ``min_by(struct(*), run_id)`` shape as dedup_exact —
+    no join back."""
     run_dirs = sorted(
         d
         for d in os.listdir(out_dir)
@@ -360,4 +375,12 @@ def read_table(
                     sources.append(d)
     if not sources:
         raise ValueError(f"no published data under {out_dir}")
-    return spark.read.option("basePath", out_dir).parquet(*sources)
+    df = spark.read.option("basePath", out_dir).parquet(*sources)
+    if dedup_on is not None:
+        cols = df.columns
+        df = (
+            df.groupBy(dedup_on)
+            .agg(F.min_by(F.struct(*cols), F.col("run_id")).alias("_keep"))
+            .select("_keep.*")
+        )
+    return df

@@ -127,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
         "commits in), then exit",
     )
     p.add_argument(
+        "--export-dedup-on",
+        metavar="COL",
+        help="with --export-shards: collapse cross-run replay duplicates "
+        "on this replay-stable identity column (doc_id = file:line_no for "
+        "harvested text) before sharding — the consumer half of the tail "
+        "loop's at-least-once recovery window (pipeline.read_table)",
+    )
+    p.add_argument(
         "--ship-lumberjack",
         metavar="HOST:PORT",
         help="with --text-glob: ship the harvested lines to a live "
@@ -275,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import read_table
 
         spark = _get_session(args)
-        table = read_table(spark, args.out)
+        table = read_table(spark, args.out, dedup_on=args.export_dedup_on)
         export_shards(
             table, args.export_shards, args.shards, sort_col=args.curriculum
         )

@@ -227,3 +227,46 @@ def test_read_table_skips_uncommitted_orphans(spark, tmp_out, no_dir_rename):
     assert (
         df2.groupBy("run_id", "doc_id").count().where("count > 1").count() == 0
     )
+
+
+def test_read_table_dedup_on_collapses_replay_duplicates(spark, tmp_out):
+    """The consumer half of the tail loop's at-least-once recovery
+    window: the SAME replay-stable doc_ids committed under two run_ids
+    (a recovery poll bundling old lines with growth) collapse to one row
+    each with dedup_on, keeping the min-run_id replica; disjoint rows
+    are untouched."""
+    from logstash_forwarder_spark.datagen import gen_source_dim
+    from logstash_forwarder_spark.pipeline import (
+        PipelineSpec,
+        read_table,
+        run_pipeline,
+    )
+
+    def seqs(spark, ids):
+        return spark.createDataFrame(
+            [(f"app:{i}", [i % 7, (i + 1) % 7], 2, "app") for i in ids],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+
+    dim = gen_source_dim(spark)
+    run_pipeline(
+        spark, seqs(spark, range(0, 100)), dim,
+        PipelineSpec(out_dir=tmp_out, run_id="t-p0"),
+    )
+    # recovery poll: re-ships 50..99 bundled with new growth 100..149
+    run_pipeline(
+        spark, seqs(spark, range(50, 150)), dim,
+        PipelineSpec(out_dir=tmp_out, run_id="t-p1"),
+    )
+    raw = read_table(spark, tmp_out)
+    assert raw.count() == 200  # duplicates visible in the raw view
+    clean = read_table(spark, tmp_out, dedup_on="doc_id")
+    assert clean.count() == 150
+    assert clean.select("doc_id").distinct().count() == 150
+    # overlapping ids kept the min-run_id replica; growth kept its own
+    runs = {
+        r.doc_id: r.run_id
+        for r in clean.select("doc_id", "run_id").collect()
+    }
+    assert runs["app:75"] == "t-p0"
+    assert runs["app:125"] == "t-p1"
