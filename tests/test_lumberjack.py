@@ -194,3 +194,57 @@ def test_cli_lumberjack_ingest(spark, tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_staged"] == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.text(min_size=0, max_size=8),
+                st.text(min_size=0, max_size=16),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_codec_roundtrip_property(frames_pairs):
+    """Wire-code fuzz: ANY list of key/value pair lists (arbitrary
+    unicode, empty keys/values, empty frames) survives
+    encode_payload → decode_stream and the incremental socket reader
+    identically, with sequences and the window count intact."""
+    import io
+
+    from logstash_forwarder_spark.operators.lumberjack import (
+        decode_stream,
+        encode_data_frame,
+        encode_payload,
+    )
+    from logstash_forwarder_spark.operators.lumberjack_net import read_frames
+
+    frames = [
+        encode_data_frame(i + 1, pairs)
+        for i, pairs in enumerate(frames_pairs)
+    ]
+    payload = encode_payload(frames)
+    for decoded in (
+        list(decode_stream(payload)),
+        list(read_frames(io.BytesIO(payload))),
+    ):
+        assert decoded[0] == ("W", len(frames))
+        datas = [v for t, v in decoded if t == "D"]
+        assert len(datas) == len(frames_pairs)
+        for i, (seq, got_pairs) in enumerate(datas):
+            assert seq == i + 1
+            # dict semantics: later duplicate keys win, like the reader
+            want = {}
+            for k, v in frames_pairs[i]:
+                want[k] = v
+            assert got_pairs == want
