@@ -367,18 +367,17 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _get_session(args)
 
-    if args.ship_lumberjack:
-        # wire-ship surface: harvest → lumberjack socket, no parquet sinks.
-        # The reference's whole job in one flag (harvester → publisher).
+    if args.ship_lumberjack and not (args.tail_glob or (args.conf and args.tail)):
+        # one-shot wire-ship: harvest → lumberjack socket, no parquet
+        # sinks. (With --tail-glob the SAME flag turns the tail loop into
+        # the reference's literal daemon — see _tail_loop.)
         import socket as _socket
-
-        from pyspark.sql import functions as F
 
         from .operators.lumberjack_net import publish_lumberjack
         from .sources.textlog import harvest_text_files
 
         if not args.text_glob:
-            p.error("--ship-lumberjack requires --text-glob")
+            p.error("--ship-lumberjack requires --text-glob or --tail-glob")
         host, _, port_s = args.ship_lumberjack.rpartition(":")
         events = (
             harvest_text_files(spark, args.text_glob)
@@ -570,6 +569,23 @@ def _tail_loop(spark, args) -> int:
         release_poll_checkpoint,
     )
 
+    ship_to = None
+    if args.ship_lumberjack:
+        # the reference's LITERAL daemon: follow files, ship grown lines
+        # over lumberjack with blocking acks, persist offsets AFTER the
+        # final ack (harvester → publisher1 → registrar ordering —
+        # at-least-once on crash, duplicates-over-loss, exactly the
+        # reference's own recovery window; receivers dedup on the
+        # replay-stable (file, offset) identity the frames carry).
+        if args.dedup_store:
+            raise SystemExit(
+                "--ship-lumberjack with --dedup-store is not supported in "
+                "the tail loop (the signature store commits against the "
+                "parquet publish path)"
+            )
+        host, _, port_s = args.ship_lumberjack.rpartition(":")
+        ship_to = (host, int(port_s))
+
     dedup_store = None
     if args.dedup_store:
         if args.dedup_store_join == "colocated":
@@ -647,7 +663,29 @@ def _tail_loop(spark, args) -> int:
         )
         n_lines = harvested.count()
         rec = {"poll": poll_no, "new_lines": n_lines}
-        if n_lines:
+        if n_lines and ship_to is not None:
+            import socket as _socket
+
+            from .operators.lumberjack_net import publish_lumberjack
+
+            events = harvested.filter("is_complete").select(
+                "file",
+                F.lit(_socket.gethostname()).alias("host"),
+                F.col("byte_offset").cast("string").alias("offset"),
+                "line",
+            )
+            stats = publish_lumberjack(
+                events,
+                ship_to[0],
+                ship_to[1],
+                pair_cols=["file", "host", "offset", "line"],
+                order_col="offset",
+            )
+            rec.update(
+                shipped=sum(s["n_events"] for s in stats),
+                acked=sum(s["acked"] for s in stats),
+            )
+        elif n_lines:
             # poll identity = counter + CONTENT fingerprint of the poll's
             # resulting offsets: a pure crash-replay reproduces the same id
             # (registrar skips, exactly-once), while a recovery poll that

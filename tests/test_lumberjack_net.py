@@ -239,3 +239,59 @@ def test_server_survives_slow_writer():
     finally:
         conn.close()
         server.close()
+
+
+def test_cli_tail_ship_lumberjack(spark, tmp_path, capsys):
+    """The reference's LITERAL daemon over a real socket: --tail-glob +
+    --ship-lumberjack follows a file, ships only grown complete lines
+    per poll with blocking acks, persists offsets AFTER the final ack,
+    and a restarted invocation ships only new growth."""
+    import json as _json
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    log = d / "app.log"
+    log.write_bytes(b"one 1\ntwo 2\npartial")
+    out = str(tmp_path / "out")
+    server = LumberjackServer()
+    try:
+        argv = [
+            "--tail-glob", f"{d}/*.log", "--polls", "1", "--out", out,
+            "--ship-lumberjack", f"{server.host}:{server.port}",
+        ]
+        assert main(argv) == 0
+        rec = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert rec[0]["shipped"] == 2 and rec[0]["acked"] == rec[0]["shipped"]
+        # grow the file; a NEW invocation resumes from offsets and ships
+        # ONLY the growth (the completed partial + one new line)
+        with open(log, "ab") as fh:
+            fh.write(b" three\nfour 4\n")
+        assert main(argv) == 0
+        rec2 = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+        assert rec2[0]["shipped"] == 2
+        lines = [e["line"] for e in server.events]
+        assert lines == ["one 1", "two 2", "partial three", "four 4"]
+        # frame identity is the replay-stable (file, offset) pair
+        offs = sorted(int(e["offset"]) for e in server.events)
+        assert offs == [0, 6, 12, 26]
+    finally:
+        server.close()
+
+
+def test_cli_tail_ship_rejects_dedup_store(spark, tmp_path):
+    import pytest as _pytest
+
+    from logstash_forwarder_spark.run import main
+
+    d = tmp_path / "live"
+    d.mkdir()
+    (d / "a.log").write_text("x\n")
+    with _pytest.raises(SystemExit, match="dedup-store"):
+        main([
+            "--tail-glob", f"{d}/*.log", "--polls", "1",
+            "--out", str(tmp_path / "out"),
+            "--ship-lumberjack", "127.0.0.1:1",
+            "--dedup-store", str(tmp_path / "store"),
+        ])
