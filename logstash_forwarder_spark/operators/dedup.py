@@ -421,10 +421,17 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows_per_band = k // bands
+    # internally-computed signatures are pinned: both self-join sides
+    # consume them and Spark recomputes per DAG branch (no CSE across
+    # branches), so without the pin the minhash kernel ran twice per
+    # query (r8 plan audit) — exactly what the ``signatures`` parameter
+    # avoids for persisted stores
     sigs = (
         signatures
         if signatures is not None
-        else minhash_signatures(df, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed)
+        else minhash_signatures(
+            df, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+        ).localCheckpoint(eager=True)
     )
     banded = sigs.select(
         id_col, "sig", band_bucket_struct(bands, rows_per_band)
@@ -432,26 +439,25 @@ def minhash_lsh_pairs(
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    matches = F.size(
+        F.filter(
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda m: m
+        )
+    )
+    # est_jaccard_pct is pair-intrinsic (a function of the two sigs), so
+    # computing it BEFORE the dedup lets dropDuplicates run as a hash
+    # aggregate over three BIGINTs — the r7 form deduped first and
+    # carried both k-slot sig arrays through a Sort + SortAggregate
+    # (arrays defeat hash aggregation), shuffling 2k longs per pair
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (matches * 100 / F.lit(k)).cast("long").alias("est_jaccard_pct"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-        )
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        (matches * 100 / F.lit(k)).cast("long").alias("est_jaccard_pct"),
     )
 
 
@@ -778,6 +784,7 @@ def span_share_stats(
     text_col: str = "text",
     n: int = 8,
     min_df: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-document span-sharing rate — the triage stat behind span-level
     (exact-substring) dedup a la Lee et al.: per doc, how many of its
@@ -793,8 +800,19 @@ def span_share_stats(
 
     Output: (doc_id, n_grams, n_shared_grams, shared_ppm) — BIGINT,
     integer-exact; docs shorter than n words report zeros.
+
+    ``materialize`` (default True) pins the kernel relation with
+    ``localCheckpoint``: the document-frequency agg AND the join side
+    both consume it, and Spark recomputes per DAG branch (no CSE), so
+    un-pinned the shingle kernel ran twice per query (r8 plan audit;
+    1.24 s → 0.98 s at sf0.1). MEMORY_AND_DISK checkpoint storage
+    spills gracefully — at production scale a span-dedup pipeline
+    persists this relation anyway rather than re-scanning the corpus
+    text (the Lee et al. suffix-table analog).
     """
     rel = shingle_hash_relation(df, id_col=id_col, text_col=text_col, n=n)
+    if materialize:
+        rel = rel.localCheckpoint(eager=True)
     dfreq = rel.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     per = (
         rel.join(dfreq, "sh")
@@ -937,53 +955,134 @@ def winnow_fingerprints(
     single BIGINT key ``h * 2^33 + (2^33 - 1 - pos)`` whose window MIN
     both engines compute identically (h < 2^30 keeps the key within
     int64; pos is bounded by 2^33 — loudly asserted). Row-local
-    mapInPandas, zero shuffle; at production scale the same per-row
-    loop folds into the Arrow shingle kernel like the minhash fast
-    path.
+    mapInArrow kernel, zero shuffle (closes VERDICT r7 task 1: the r7
+    per-row Python loop — md5 per gram string, ``min()`` over a list
+    slice per window, O(m·w) interpreter work per doc — is replaced by
+    batch-vectorized numpy: word offsets from the normalized Arrow
+    buffer, gram bytes as zero-copy buffer slices, windowed minima via
+    ``sliding_window_view``. md5 itself stays a per-gram hashlib call —
+    the portable hash family the frozen oracle replays bit-exactly has
+    no vectorized form — but it is the ONLY per-gram Python left and is
+    a single C call on a buffer slice).
     """
     import hashlib
-
-    import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
     M = 1 << 33
 
     def op(batches):
-        for pdf in batches:
-            ids: list = []
-            poss: list = []
-            fps: list = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = " ".join(("" if text is None else str(text)).lower().split())
-                ws = t.split(" ") if t else []
-                m = len(ws) - k + 1
-                if m <= 0:
-                    continue
-                assert m < M, "winnow_fingerprints: doc exceeds 2^33 grams"
-                keys = [
-                    (
-                        int(
-                            hashlib.md5(
-                                " ".join(ws[i : i + k]).encode()
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                        % p
-                    )
-                    * M
-                    + (M - 1 - i)
-                    for i in range(m)
-                ]
-                sel = set()
-                for e in range(min(w, m) - 1, m):
-                    sel.add(min(keys[max(0, e - w + 1) : e + 1]))
-                for key in sorted(sel, key=lambda x: M - 1 - (x % M)):
-                    ids.append(did)
-                    poss.append(M - 1 - (key % M))
-                    fps.append(key // M)
-            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return df.select(id_col, text_col).mapInPandas(
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        for b in batches:
+            nrows = b.num_rows
+            if not nrows:
+                continue
+            col = b.column(b.schema.get_field_index(text_col))
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            # identical normalization to the oracle: \s+ -> ' ', trim, lower
+            # (both engines run RE2; the r7 Python-split form agreed on the
+            # same corpus and the kernel now matches the SQL form literally)
+            txt = pc.utf8_lower(
+                pc.utf8_trim(
+                    pc.replace_substring_regex(pc.fill_null(col, ""), r"\s+", " "),
+                    " ",
+                )
+            )
+            bufs = txt.buffers()
+            toffs = np.frombuffer(bufs[1], np.int32)[
+                txt.offset : txt.offset + nrows + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, np.uint8)
+            )
+            s, e = toffs[:-1], toffs[1:]
+            nonempty = e > s
+            # word boundaries: every 0x20 byte is a separator (normalized
+            # text is single-spaced; UTF-8 continuation bytes are >= 0x80)
+            sp_all = np.flatnonzero(data[toffs[0] : toffs[-1]] == 32) + toffs[0]
+            row_of_sp = np.searchsorted(e, sp_all, side="right")
+            nw = np.bincount(row_of_sp, minlength=nrows) + nonempty
+            assert int(nw.max(initial=0)) < M, (
+                "winnow_fingerprints: doc exceeds 2^33 grams"
+            )
+            wstarts = np.sort(np.concatenate([s[nonempty], sp_all + 1]))
+            ws0 = np.cumsum(nw) - nw
+            m = np.maximum(nw - k + 1, 0) * (nw > 0)
+            total = int(m.sum())
+            if not total:
+                continue
+            row_of_g = np.repeat(np.arange(nrows, dtype=np.int64), m)
+            seg0 = np.cumsum(m) - m
+            within = np.arange(total, dtype=np.int64) - np.repeat(seg0, m)
+            gidx = ws0[row_of_g] + within
+            # gram i spans bytes [start of word i, end of word i+k-1): the
+            # normalized text IS the gram string, so no gram is ever built
+            gs = wstarts[gidx]
+            is_last = within + k == nw[row_of_g]
+            wst_pad = np.append(wstarts, 0)
+            ge = np.where(
+                is_last,
+                e[row_of_g],
+                wst_pad[np.minimum(gidx + k, len(wstarts))] - 1,
+            )
+            mv = memoryview(data)
+            # md5 first-15-hex == (first 8 digest bytes as big-endian) >> 4
+            fps = np.fromiter(
+                (
+                    (from_bytes(md5(mv[a:b2]).digest()[:8], "big") >> 4) % p
+                    for a, b2 in zip(gs.tolist(), ge.tolist())
+                ),
+                np.int64,
+                count=total,
+            )
+            keys = fps * M + (M - 1 - within)
+            sel_rows: list = []
+            sel_keys: list = []
+            # full windows: end positions with within >= w-1 lie entirely
+            # inside their own row, so one batch-wide sliding min serves all
+            full = within >= w - 1
+            if full.any():
+                swv = np.lib.stride_tricks.sliding_window_view(keys, w).min(axis=1)
+                pos_full = np.flatnonzero(full)
+                sel_rows.append(row_of_g[pos_full])
+                sel_keys.append(swv[pos_full - (w - 1)])
+            # short docs (0 < m_r < w): the single truncated window is the
+            # min of the whole segment (the standard short-doc convention)
+            mg = m[m > 0]
+            short = mg < w
+            if short.any():
+                seg_starts = np.cumsum(mg) - mg
+                sel_rows.append(np.arange(nrows, dtype=np.int64)[m > 0][short])
+                sel_keys.append(np.minimum.reduceat(keys, seg_starts)[short])
+            srow = np.concatenate(sel_rows)
+            skey = np.concatenate(sel_keys)
+            # distinct selections per row: sort (row, key), drop dup pairs
+            order = np.lexsort((skey, srow))
+            srow, skey = srow[order], skey[order]
+            keep = np.empty(len(srow), bool)
+            keep[0] = True
+            keep[1:] = (srow[1:] != srow[:-1]) | (skey[1:] != skey[:-1])
+            srow, skey = srow[keep], skey[keep]
+            ids = b.column(b.schema.get_field_index(id_col)).take(
+                pa.array(srow, pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(M - 1 - (skey % M), pa.int64()),
+                    pa.array(skey // M, pa.int64()),
+                ],
+                names=[id_col, "pos", "fp"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
         op, schema=f"{id_col} {id_type}, pos long, fp long"
     )
 
@@ -1006,11 +1105,20 @@ def winnow_near_dup_pairs(
     no discrimination), so candidate generation is one fp-keyed,
     DF-capped exchange — O(near-dups), never O(n²). Winnowing density
     2/(w+1) means this moves ~60% fewer keys than the full-shingle
-    Jaccard join at the same k."""
+    Jaccard join at the same k.
+
+    The distinct fp relation is pinned with ``localCheckpoint``: the
+    DF-cap aggregate and BOTH self-join sides consume it, and Spark
+    recomputes a DataFrame per DAG branch (no CSE across branches —
+    CLAUDE.md round-2), so without the pin the fingerprint kernel ran
+    FOUR times per query (r8 plan audit). The pinned relation is
+    density-thinned (2/(w+1) of gram count) — metadata-sized, not
+    corpus-sized."""
     fps = (
         winnow_fingerprints(df, id_col, text_col, k=k, w=w)
         .select(id_col, "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cap = (
         fps.groupBy("fp")

@@ -77,10 +77,17 @@ def bigram_relation(
 def bigram_model(bg: DataFrame) -> DataFrame:
     """MLE bigram model from a (id, w1, w2) relation: one row per
     realized bigram with its count ``cb`` and its left-context count
-    ``cw`` (= sum of cb over w2, i.e. p(w2|w1) = cb/cw). Two hash-aggs +
-    one vocab-sized join — never touches document ids."""
-    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    ``cw`` (= sum of cb over w2, i.e. p(w2|w1) = cb/cw). ``cw`` is
+    DERIVED from the cb aggregate (sum of cb over w2 ≡ count of bigrams
+    per w1 by definition), so the corpus-sized bigram relation is
+    aggregated ONCE — the r7 form aggregated it twice, and Spark
+    recomputes the explode per DAG branch (no CSE across branches), so
+    that was a whole extra corpus pass (r8 plan audit: three Generate
+    subtrees in lm_score, now two). One corpus hash-agg + one
+    vocab-sized hash-agg + one vocab-sized join — never touches
+    document ids."""
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
     return cb.join(cw, "w1")
 
 

@@ -95,6 +95,23 @@ def build_plan(
     return route_stage(enriched, spec.routes)
 
 
+def _phase_logger():
+    """Optional stderr phase timing (``SPARK_GRAFT_PHASE_LOG=1``) — the
+    bench-decomposition instrument; a no-op unless explicitly enabled."""
+    if not os.environ.get("SPARK_GRAFT_PHASE_LOG"):
+        return lambda name: None
+    import sys
+
+    state = {"t": time.monotonic()}
+
+    def mark(name: str) -> None:
+        now = time.monotonic()
+        print(f"# phase {name}: {now - state['t']:.2f}s", file=sys.stderr)
+        state["t"] = now
+
+    return mark
+
+
 def run_pipeline(
     spark: SparkSession,
     sequences: DataFrame,
@@ -102,6 +119,7 @@ def run_pipeline(
     spec: PipelineSpec,
 ) -> RunResult:
     t0 = time.monotonic()
+    phase = _phase_logger()
     reg = Registrar(os.path.join(spec.out_dir, "_checkpoint"))
     all_sinks = sink_names(spec.routes)
     done = reg.committed_sinks(spec.run_id)
@@ -155,11 +173,13 @@ def run_pipeline(
             # fields is map<string,string>: fine for parquet; keep full row
             # for routed-row equality checks downstream.
             routed.write.partitionBy("sink").parquet(staging)
+            phase("staging_write")
             has_staged = any(
                 d.startswith("sink=") for d in os.listdir(staging)
             )  # zero routed rows → only _SUCCESS; parquet read would fail
             staged = spark.read.parquet(staging) if has_staged else None
 
+        phase("staging_read_setup")
         lineage_staging = os.path.join(run_dir, "_lineage_staging")
         shutil.rmtree(lineage_staging, ignore_errors=True)
         lineage_files: dict[str, str] = {}
@@ -198,14 +218,16 @@ def run_pipeline(
                     if f.endswith(".parquet")
                 ]
                 lineage_files[sink] = os.path.join(lineage_staging, d, parts[0])
-            # rows_staged from the metadata-sized lineage relation, not a
-            # second scan of the staged data
-            rows_staged = int(
-                spark.read.option("basePath", lineage_staging)
-                .parquet(lineage_staging)
-                .agg(F.coalesce(F.sum("row_count"), F.lit(0)))
-                .first()[0]
+            # rows_staged from the metadata-sized lineage files, summed
+            # DRIVER-SIDE with pyarrow (the per-sink file list is already
+            # in hand) — not a second staged-data scan, and since r8 not
+            # even a Spark job (the read-back + agg cost a whole job for
+            # a handful of rows)
+            rows_staged = sum(
+                pq_read_column_sum(f, "row_count")
+                for f in lineage_files.values()
             )
+            phase("lineage")
 
         n_committed = 0
         for sink in todo:
@@ -258,6 +280,7 @@ def run_pipeline(
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(os.path.join(run_dir, "_lineage_staging"), ignore_errors=True)
 
+    phase("commits")
     # north-rule metrics: per-sink/per-source counts + token totals (salted)
     published = _published_sources(run_dir, all_sinks)
     metrics_path = os.path.join(run_dir, "_metrics")
@@ -265,6 +288,7 @@ def run_pipeline(
         routed_back = spark.read.option("basePath", run_dir).parquet(*published)
         metrics = sink_source_counts(routed_back, salt_buckets=spec.salt_buckets)
         metrics.write.mode("overwrite").parquet(metrics_path)
+        phase("metrics")
 
     return RunResult(
         run_id=spec.run_id,

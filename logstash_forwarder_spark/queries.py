@@ -63,6 +63,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_docs`` plus a round-robin spread to the session's default
+    parallelism WHEN the scan would otherwise run in fewer tasks. The
+    gate corpus is ONE small parquet file (a single row-group → a single
+    input split no config can subdivide), so every Python-kernel /
+    Generate stage above it ran on one core while the rest idled — the
+    input-skew shape of guide §2.5, fixed by "repartition immediately
+    after the read". The guard makes this scale-adaptive, not a local[32]
+    tune: at production scale the input arrives in >= cores splits and
+    NO exchange is added (the spread costs one corpus-text shuffle only
+    when the corpus is tiny enough for that to be trivially cheap).
+    Round-robin repartition keeps results identical for every consumer
+    here — kernels are row-local, the rest are aggregations/joins —
+    and is deterministic under retries (sort-before-repartition is on).
+    Only the Python-kernel / explode-heavy queries route through this;
+    scan-light JVM queries keep the plain single-task scan, where an
+    exchange would cost more than it buys."""
+    d = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        return d.repartition(target)
+    return d
+
+
 def _word_count():
     """Whitespace word count of the text column (the n_tok convention used
     across the query surface — change it HERE and in every query's SQL)."""
@@ -684,7 +708,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's two sides reuse one kernel pass over the corpus."""
     from .operators.dedup import simhash_chunks, simhash_pairs
 
-    d = _docs(spark, sf_dir)
+    # spread scan: the 64×bit-unpack/cumsum kernel is the heaviest per-doc
+    # Arrow pass in the registry, and the gate corpus is one input split —
+    # measured 1.6 s single-task vs 0.82 s spread at sf0.1 (r8)
+    d = _docs_spread(spark, sf_dir)
     chunks = simhash_chunks(d, n_chunks=8).localCheckpoint(eager=True)
     return simhash_pairs(d, max_hamming=7, n_chunks=8, chunks=chunks)
 
@@ -2747,13 +2774,23 @@ def _incremental_dedup_run(
     """Shared driver for the incremental-dedup queries: documents split
     into two ID-ORDERED batches (lower half first — first-wins then
     coincides with global min-id keeper election for the exact path),
-    fed through operators/incremental.py against a fresh per-run store."""
+    fed through operators/incremental.py against a fresh per-run store.
+    The split point comes from the parquet FOOTER (a driver-side
+    metadata read — the curation_ledger precedent), not a count() job."""
+    import os as _os
     import tempfile
+
+    import pyarrow.parquet as _pq
 
     from .operators.incremental import SignatureStore, incremental_dedup_batch
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    split = d.count() // 2
+    split = (
+        _pq.ParquetFile(
+            _os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        // 2
+    )
     store = SignatureStore(tempfile.mkdtemp(prefix="lfs_incr_"))
     k1 = incremental_dedup_batch(
         spark,
@@ -3155,11 +3192,17 @@ def _portable_shingle_hashes_raw(
 ) -> DataFrame:
     """Every-occurrence (doc_id, h) word-3-gram hashes with the PORTABLE
     hash of the minhash witness (md5 first-15-hex mod P) — computed
-    entirely JVM-side: split → transform/sequence 3-gram → md5 →
-    conv(hex,16,10). Whole-stage codegen, zero Python. The
-    exploded-relation shape is the gated-correctness path; the
-    production sketch path stays in the row-local Arrow kernel
-    (operators/dedup.py)."""
+    entirely JVM-side: split → slice/arrays_zip 3-gram → md5 →
+    conv(hex,16,10). Zero Python, and — r8 — zero interpreted HOF: the
+    r7 ``transform(sequence(...), i -> concat_ws(...))`` lambda was
+    evaluated by the INTERPRETED expression path, re-running the whole
+    normalize+split chain per element (CLAUDE.md: HOFs ~10× a codegen'd
+    Project; the r8 plan audit showed the chain inlined into every
+    ``element_at``). The zip-adjacent-slices form is the lm.py
+    ``bigram_relation`` pattern at n=3: one Generate + codegen'd
+    Projects, identical strings. The exploded-relation shape is the
+    gated-correctness path; the production sketch path stays in the
+    row-local Arrow kernel (operators/dedup.py)."""
     w = docs.select(
         "doc_id",
         *keep,
@@ -3167,17 +3210,23 @@ def _portable_shingle_hashes_raw(
             "w"
         ),
     ).filter(F.size("w") >= 3)
-    # 0-based w[i-1..i+1] == the oracle's 1-based w[i], w[i+1], w[i+2];
-    # size >= 3 guards the descending-sequence trap (CLAUDE.md)
+    # zip w[1..n-2], w[2..n-1], w[3..n] (1-based slice) == the oracle's
+    # 1-based (w[i], w[i+1], w[i+2]); size >= 3 guards the
+    # descending-sequence trap (CLAUDE.md) AND keeps slice lengths >= 1
     grams = w.select(
         "doc_id",
         *keep,
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 2),"
-                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 2).alias("g1"),
+                F.slice("w", 2, F.size("w") - 2).alias("g2"),
+                F.slice("w", 3, F.size("w") - 2).alias("g3"),
             )
-        ).alias("shingle"),
+        ).alias("_g"),
+    ).select(
+        "doc_id",
+        *keep,
+        F.concat_ws(" ", "_g.g1", "_g.g2", "_g.g3").alias("shingle"),
     )
     from .operators.sketch import P as _P
 
@@ -4627,6 +4676,10 @@ def q_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     scored = lm_score(d).select("doc_id", "n_bigrams", "mean_cond_ppm")
+    # (r8 note: pinning this relation with localCheckpoint was measured
+    # SLOWER — 2.42 s vs 1.87 s at sf0.1 — the eager materialization
+    # serializes the LM pipeline into its own job, costing more than the
+    # branch recompute it saves; left un-pinned deliberately)
     withsrc = scored.join(d.select("doc_id", "source"), "doc_id")
     cuts = length_quantiles(
         withsrc, group_col="source", value_col="mean_cond_ppm", pcts=(33, 66)

@@ -275,12 +275,16 @@ def test_freq_spectrum_hand_corpus(spark):
 
 
 def test_freq_spectrum_two_bounded_aggregates(spark):
-    """Plan shape: exactly two aggregate pairs (partial+final per agg),
-    no window, no sort, no python stage."""
+    """Plan shape (r8 kernel form): grams come from ONE MapInArrow
+    kernel inside the scan — never an interpreted transform/explode of
+    gram strings — then two aggregate pairs; no window, no sort."""
     from logstash_forwarder_spark.operators.curate import freq_spectrum
 
     df = freq_spectrum(_corpus(spark))
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # substring PRESENCE only: AQE prints final+initial plans, so raw
+    # counts over the string are unreliable (CLAUDE.md round-2 gotcha)
     assert "Window" not in plan and "Sort" not in plan
-    assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan
+    assert "MapInArrow" in plan
+    assert "Generate" not in plan and "ArrowEvalPython" not in plan
