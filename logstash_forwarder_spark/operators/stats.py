@@ -203,6 +203,7 @@ def curriculum_buckets(
     len_col: str = "n_tok",
     id_col: str = "doc_id",
     bucket_width: int | None = None,
+    total: int | None = None,
 ) -> DataFrame:
     """Length-curriculum shard assignment: rows ranked globally by
     ``(len_col, id_col)`` are cut into ``n_buckets`` near-equal shards —
@@ -226,6 +227,12 @@ def curriculum_buckets(
     bit-reproducible by any engine (NOT ntile's ceil-first split; this
     formula is the deterministic shard assigner the pack/shard tier
     already uses). Output: ``(id_col, len_col, rank, bucket)``.
+
+    ``bucket_width`` and ``total`` only tune INTERNAL partitioning /
+    replace a count job — the rank (and therefore every output value)
+    is identical for any valid width, and ``total`` must equal the
+    non-NULL row count (callers with parquet-footer metadata pass both
+    to skip two small driver jobs; r8).
     """
     if n_buckets <= 0:
         raise ValueError("curriculum_buckets: n_buckets must be positive")
@@ -246,7 +253,8 @@ def curriculum_buckets(
     base = per_len.withColumn(
         "_base", F.coalesce(F.sum("_ln").over(w_len), F.lit(0))
     ).select("_len", "_base")
-    total = int(per_len.agg(F.sum("_ln")).first()[0] or 0)
+    if total is None:
+        total = int(per_len.agg(F.sum("_ln")).first()[0] or 0)
     # 2. intra-length two-level prefix: per-(len, id-bucket) counts,
     # exclusive cumsum over buckets, then row_number within one bucket
     per_bucket = b.groupBy("_len", "_bkt").agg(F.count(F.lit(1)).alias("_bn"))

@@ -154,11 +154,18 @@ FROM documents d LEFT JOIN {_dim_values_sql()} ON d.source = dim.source
 
 
 def q_enrich_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Enrich then aggregate per (src_type, env) — the broadcast-join + agg shape."""
+    """Enrich then aggregate per (src_type, env) — the broadcast-join +
+    agg shape. n_chars rides the enrich join directly (r8): the old form
+    re-read documents and joined back on doc_id just to fetch the
+    column — a whole extra join stage for a 1:1 self-attach."""
+    d = _docs(spark, sf_dir)
+    dim = _dim_df(spark)
     return (
-        q_enrich_broadcast(spark, sf_dir)
-        .join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
-        .groupBy("src_type", "env")
+        d.join(F.broadcast(dim), "source", "left")
+        .groupBy(
+            F.coalesce("src_type", F.lit("unknown")).alias("src_type"),
+            F.coalesce("env", F.lit("unknown")).alias("env"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("chars_total"),
@@ -4483,7 +4490,23 @@ def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
         ).alias("n_words"),
     )
-    ranked = curriculum_buckets(nw, 8, len_col="n_words", id_col="doc_id")
+    # footer metadata replaces two small driver jobs (id-range probe +
+    # total count); both parameters are output-invariant (operator doc)
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    n_rows = pf.metadata.num_rows
+    ranked = curriculum_buckets(
+        nw,
+        8,
+        len_col="n_words",
+        id_col="doc_id",
+        # ids need not be dense; any width >= range/65536 keeps the bucket
+        # relation bounded, and the rank is width-invariant — derive from
+        # a row-count upper bound instead of a min/max job
+        bucket_width=max(1024, -(-(n_rows * 4) // 65536)),
+        total=n_rows,
+    )
     return ranked.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("n_words").cast("long").alias("min_words"),
