@@ -935,6 +935,7 @@ def winnow_fingerprints(
     k: int = 3,
     w: int = 4,
     p: int = 1073741789,  # the sketch witnesses' prime (sketch.py P)
+    fps_only: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS algorithm): per position, hash the word
@@ -964,6 +965,11 @@ def winnow_fingerprints(
     the portable hash family the frozen oracle replays bit-exactly has
     no vectorized form — but it is the ONLY per-gram Python left and is
     a single C call on a buffer slice).
+
+    ``fps_only=True`` emits the DISTINCT (id, fp) relation instead —
+    the match step's join currency — deduplicated INSIDE the kernel
+    (same-fp selections at different positions collapse), so the
+    consumer pays no distinct exchange at all.
     """
     import hashlib
 
@@ -1070,6 +1076,23 @@ def winnow_fingerprints(
             keep[0] = True
             keep[1:] = (srow[1:] != srow[:-1]) | (skey[1:] != skey[:-1])
             srow, skey = srow[keep], skey[keep]
+            if fps_only:
+                fpv = skey // M
+                # distinct (row, fp): srow is sorted; within a row, sort
+                # fps and drop consecutive duplicates
+                order2 = np.lexsort((fpv, srow))
+                srow, fpv = srow[order2], fpv[order2]
+                keep2 = np.empty(len(srow), bool)
+                keep2[0] = True
+                keep2[1:] = (srow[1:] != srow[:-1]) | (fpv[1:] != fpv[:-1])
+                srow, fpv = srow[keep2], fpv[keep2]
+                ids = b.column(b.schema.get_field_index(id_col)).take(
+                    pa.array(srow, pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(fpv, pa.int64())], names=[id_col, "fp"]
+                )
+                continue
             ids = b.column(b.schema.get_field_index(id_col)).take(
                 pa.array(srow, pa.int64())
             )
@@ -1082,9 +1105,12 @@ def winnow_fingerprints(
                 names=[id_col, "pos", "fp"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(
-        op, schema=f"{id_col} {id_type}, pos long, fp long"
+    out_schema = (
+        f"{id_col} {id_type}, fp long"
+        if fps_only
+        else f"{id_col} {id_type}, pos long, fp long"
     )
+    return df.select(id_col, text_col).mapInArrow(op, schema=out_schema)
 
 
 def winnow_near_dup_pairs(
@@ -1114,12 +1140,9 @@ def winnow_near_dup_pairs(
     FOUR times per query (r8 plan audit). The pinned relation is
     density-thinned (2/(w+1) of gram count) — metadata-sized, not
     corpus-sized."""
-    fps = (
-        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-        .select(id_col, "fp")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w, fps_only=True
+    ).localCheckpoint(eager=True)
     cap = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("fdf"))

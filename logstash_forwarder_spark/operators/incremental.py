@@ -103,6 +103,14 @@ class SignatureStore:
             return None
         return spark.read.parquet(*paths)
 
+    def read_batch(self, spark: SparkSession, batch_id: str, schema) -> DataFrame:
+        """One committed batch's rows, with an EXPLICIT schema so an
+        empty batch (a dir holding only _SUCCESS) still reads as an
+        empty frame instead of failing schema inference."""
+        return spark.read.schema(schema).parquet(
+            os.path.join(self.root, "sigs", f"b={batch_id}")
+        )
+
     def append(
         self, sigs: DataFrame, batch_id: str, *, exist_ok: bool = False
     ) -> None:
@@ -433,11 +441,22 @@ def incremental_dedup_batch(
         )
         keep_exact = keep_exact.join(maybe_b(hits), "fp", "left_anti")
 
-    if not near:
-        kept = keep_exact.select(id_col, "fp", "sig").localCheckpoint()
+    def _finish(kept: DataFrame) -> DataFrame:
+        """Commit-aware snapshot of the kept rows. The returned frame
+        must be STABLE under re-evaluation: a lazy plan re-run AFTER the
+        append would re-read the store and see its own batch (dropping
+        everything). With commit, the committed parquet itself is that
+        snapshot — reading it back replaces the r7 localCheckpoint,
+        whose eager materialization duplicated the write the append was
+        about to do anyway (one Spark job less per batch). Without
+        commit, the checkpoint remains the snapshot."""
         if commit:
             store.append(kept, batch_id, exist_ok=commit_exist_ok)
-        return kept
+            return store.read_batch(spark, batch_id, kept.schema)
+        return kept.localCheckpoint()
+
+    if not near:
+        return _finish(keep_exact.select(id_col, "fp", "sig"))
 
     survivors = keep_exact.localCheckpoint()
 
@@ -484,7 +503,4 @@ def incremental_dedup_batch(
         ).select(F.col("new_id").alias(id_col))
         survivors = survivors.join(maybe_b(drops), id_col, "left_anti")
 
-    kept = survivors.select(id_col, "fp", "sig").localCheckpoint()
-    if commit:
-        store.append(kept, batch_id, exist_ok=commit_exist_ok)
-    return kept
+    return _finish(survivors.select(id_col, "fp", "sig"))

@@ -557,3 +557,27 @@ def test_winnow_short_docs_and_ties(spark):
         pos_by_fp.setdefault(fp, []).append(pos)
     for positions in pos_by_fp.values():
         assert all(b - a >= 3 for a, b in zip(positions, positions[1:]))
+
+
+def test_winnow_fps_only_equals_distinct_projection(spark):
+    """The r8 kernel-side distinct (``fps_only=True``) must equal the
+    relational form it replaced — select(id, fp).distinct() over the
+    full positional output — including docs whose repeated grams select
+    the SAME fp at several positions (the case the dedup exists for)."""
+    import random
+
+    from logstash_forwarder_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+        for i in range(200)
+    ] + [(200, "x y z x y z x y z x y z"), (201, ""), (202, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = winnow_fingerprints(df, k=3, w=4)
+    expected = {(r.doc_id, r.fp) for r in full.select("doc_id", "fp").distinct().collect()}
+    got_rows = winnow_fingerprints(df, k=3, w=4, fps_only=True).collect()
+    got = {(r.doc_id, r.fp) for r in got_rows}
+    assert len(got_rows) == len(got), "kernel distinct emitted duplicates"
+    assert got == expected
